@@ -1,0 +1,169 @@
+"""Encode pipeline: payload bytes -> OFDM waveform.
+
+TPU-native re-design of the reference Encoder (encode.cc:27-318).  The
+reference's constructor-as-pipeline synthesises one symbol at a time;
+here a frame is assembled as a [frame_symbols, N] spectrum array on the
+host/trace boundary and synthesised with one batched IFFT pass
+(ofdm.synthesize).  The time-differential PSK accumulation across payload
+rows (encode.cc:304-308) becomes a cumulative product over the row axis.
+
+Frame layout on air (encode.cc:288-313):
+  [1 s silence] [pilot] { [schmidl_cox] [metadata] [pilot] [payload rows] }
+  per input block, then [zero flush symbol] [1 s silence].
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import bits as B
+from . import ofdm, psk
+from .fec import bch
+from .fec.polar import PolarCode
+from .numerology import ModemConfig
+
+
+class Encoder:
+    """Precomputes per-config constants; encode() runs the jitted path."""
+
+    def __init__(self, cfg: ModemConfig):
+        cfg.validate()
+        self.cfg = cfg
+        mode = cfg.mode
+        n = cfg.symbol_len
+        self.code = PolarCode(n=mode.cons_bits, k=mode.crc_bits,
+                              order=mode.code_order)
+
+        # --- pilot block spectrum (encode.cc:132-141) ---------------------
+        code_fac = np.sqrt(n / mode.cons_cols)
+        pilot = np.zeros(n, dtype=np.complex64)
+        seq2 = B.mls_nrz(0b100101010001, mode.cons_cols)
+        cols_bins = ofdm.bin_index(
+            np.arange(cfg.code_off, cfg.code_off + mode.cons_cols), n)
+        pilot[cols_bins] = code_fac * seq2
+        self.pilot_fdom = pilot
+        self.cols_bins = cols_bins
+        self.pilot_carriers = pilot[cols_bins]
+
+        # --- Schmidl-Cox preamble spectrum (encode.cc:142-154) ------------
+        mls0_fac = np.sqrt(2.0 * n / cfg.mls0_len)
+        sc = np.zeros(n, dtype=np.complex64)
+        sc[ofdm.bin_index(cfg.mls0_off - 2, n)] = mls0_fac
+        seq0 = B.mls_nrz(cfg.mls0_poly, cfg.mls0_len)
+        even_bins = ofdm.bin_index(
+            2 * np.arange(cfg.mls0_len) + cfg.mls0_off, n)
+        vals = sc[ofdm.bin_index(cfg.mls0_off - 2, n)]
+        acc = vals
+        for i in range(cfg.mls0_len):
+            acc = acc * seq0[i]
+            sc[even_bins[i]] = acc
+        self.sc_fdom = sc
+
+        # --- metadata scrambler (encode.cc:165-177) -----------------------
+        self.mls1_seq = B.mls_nrz(cfg.mls1_poly, cfg.mls1_len)
+        self.mls1_fac = np.sqrt(n / cfg.mls1_len)
+
+        self._encode_jit = jax.jit(self._encode_traced,
+                                   static_argnames=("n_frames",))
+
+    # -- host-side metadata spectrum (encode.cc:155-179) -------------------
+    def meta_fdom(self, call_sign: int) -> np.ndarray:
+        cfg = self.cfg
+        md = (call_sign << 8) | cfg.mode.oper_mode
+        hdr = np.array([(md >> i) & 1 for i in range(55)], dtype=np.uint8)
+        cs = B.crc16.over_value(md << 9, 64)
+        cs_bits = np.array([(cs >> i) & 1 for i in range(16)],
+                           dtype=np.uint8)
+        data71 = np.concatenate([hdr, cs_bits])
+        parity = bch.encode(data71)
+        nrz = B.nrz(np.concatenate([data71, parity])).astype(np.float64)
+        # Differential encode seeded by the reference-amplitude carrier at
+        # mls1_off - 1, then MLS1 scrambling (encode.cc:169-177).
+        diff = self.mls1_fac * np.cumprod(nrz)
+        fdom = np.zeros(cfg.symbol_len, dtype=np.complex64)
+        fdom[ofdm.bin_index(cfg.mls1_off - 1, cfg.symbol_len)] = \
+            self.mls1_fac
+        bins = ofdm.bin_index(np.arange(cfg.mls1_len) + cfg.mls1_off,
+                              cfg.symbol_len)
+        fdom[bins] = diff * self.mls1_seq
+        return fdom
+
+    # -- payload framing (encode.cc:293-301) -------------------------------
+    def mesg_bits(self, payload: bytes) -> np.ndarray:
+        mode = self.cfg.mode
+        assert len(payload) == mode.data_bytes
+        pbits = B.bytes_to_bits_le(payload)
+        crc = B.crc32.over_bytes(payload)
+        crc_bits = np.array([(crc >> i) & 1 for i in range(32)],
+                            dtype=np.uint8)
+        mesg = np.zeros(mode.mesg_bits, dtype=np.uint8)
+        mesg[: mode.data_bits] = pbits
+        mesg[mode.data_bits: mode.crc_bits] = crc_bits
+        # tail stays 0: shortened info bits pinned to bit 0 (+1 NRZ)
+        return mesg
+
+    def _payload_factors(self, mesg):
+        """mesg bits [F, mesg_bits] -> unit PSK factors [F, rows, cols]."""
+        mode = self.cfg.mode
+        cw = self.code.encode_systematic(mesg)
+        short = cw[..., jnp.asarray(self.code.kept_idx)]
+        grouped = short.reshape(short.shape[0], mode.cons_rows,
+                                mode.cons_cols, mode.mod_bits)
+        return psk.mod_map(mode.mod_bits,
+                           (1.0 - 2.0 * grouped.astype(jnp.float32)))
+
+    def _encode_traced(self, mesg, meta_fdom, n_frames: int):
+        cfg = self.cfg
+        mode = cfg.mode
+        n = cfg.symbol_len
+        factors = self._payload_factors(mesg)          # [F, rows, cols]
+        # Time-differential accumulation seeded by the pilot (encode.cc:304-308).
+        chain = jnp.cumprod(factors, axis=1)
+        carriers = jnp.asarray(self.pilot_carriers)[None, None, :] * chain
+        payload_rows = jnp.zeros((n_frames, mode.cons_rows, n),
+                                 dtype=jnp.complex64)
+        payload_rows = payload_rows.at[
+            :, :, jnp.asarray(self.cols_bins)].set(carriers)
+
+        per_frame = jnp.concatenate([
+            jnp.broadcast_to(jnp.asarray(self.sc_fdom), (n_frames, 1, n)),
+            meta_fdom[:, None, :],
+            jnp.broadcast_to(jnp.asarray(self.pilot_fdom),
+                             (n_frames, 1, n)),
+            payload_rows], axis=1)                     # [F, 3+rows, N]
+        frames = per_frame.reshape(-1, n)
+        fdom = jnp.concatenate([
+            jnp.asarray(self.pilot_fdom)[None, :],     # leading pilot
+            frames,
+            jnp.zeros((1, n), dtype=jnp.complex64)], axis=0)  # flush
+
+        papr_mask = np.ones(fdom.shape[0], dtype=bool)
+        papr_mask[1 + np.arange(n_frames) * cfg.frame_symbols] = False  # S&C
+        return ofdm.synthesize(fdom, cfg.guard_len, papr_mask)
+
+    def encode(self, payloads, call_sign: int,
+               scramble: bool = True):
+        """payload blocks -> (complex waveform, papr metrics).
+
+        `payloads`: bytes (one frame) or list of bytes.  The returned
+        waveform excludes the 1 s silence pads; wav writing adds them
+        (encode.cc:423,441).
+        """
+        if isinstance(payloads, (bytes, bytearray)):
+            payloads = [bytes(payloads)]
+        if scramble:
+            payloads = [B.scramble(p) for p in payloads]
+        mesg = np.stack([self.mesg_bits(p) for p in payloads])
+        meta = np.broadcast_to(self.meta_fdom(call_sign),
+                               (len(payloads), self.cfg.symbol_len))
+        wave, papr = self._encode_jit(mesg, meta, n_frames=len(payloads))
+        return np.asarray(wave), np.asarray(papr)
+
+
+@functools.lru_cache(maxsize=None)
+def cached_encoder(cfg: ModemConfig) -> Encoder:
+    return Encoder(cfg)

@@ -1,0 +1,13 @@
+"""Test harness: run everything on XLA-CPU with an 8-device virtual mesh.
+
+Mirrors SURVEY.md §4's "fake backend" plan: sharding/vmap tests need no
+TPU; the driver separately validates the multi-chip path.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
