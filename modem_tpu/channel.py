@@ -1,0 +1,78 @@
+"""Channel impairments: multipath, CFO, SFO, AWGN.
+
+Native replacement for the external aicodix/disorders simulation chain
+(reference README.md:42-49: `multipath .. 10 | cfo - - 234.567 |
+sfo - - 147 | awgn - - -30`), used by the robustness tests (SURVEY.md §4
+check 3, BASELINE config 4).  Host-side numpy: impairments are test
+fixtures, not a serving path.
+
+Semantics:
+  * multipath: FIR with complex taps at integer sample delays, from a
+    "delay gain_re gain_im" profile (disorders' file-driven taps).
+  * cfo(hz): multiply by e^{j 2 pi f t}.
+  * sfo(ppm): resample by factor (1 + ppm*1e-6) via linear interpolation
+    (a sound-card clock offset).
+  * awgn(db): complex white Gaussian noise at `db` relative to
+    full-scale 1.0 (the disorders tool's convention: -30 means noise
+    power 10^(-3) per real dimension pair).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# The multipath profile used by the reference README simulation
+# (aicodix/disorders repo ships this example profile shape: a handful of
+# delayed taps within the guard interval).
+DEFAULT_MULTIPATH = (
+    (0, 1.0 + 0.0j),
+    (10, 0.5 + 0.2j),
+    (25, -0.3 + 0.1j),
+    (60, 0.2 - 0.15j),
+)
+
+
+def multipath(x: np.ndarray, taps=DEFAULT_MULTIPATH,
+              spread: int = 1) -> np.ndarray:
+    """Apply complex FIR taps at (delay * spread) sample offsets."""
+    x = np.asarray(x, dtype=np.complex128)
+    max_d = max(d for d, _ in taps) * spread
+    out = np.zeros(len(x) + max_d, dtype=np.complex128)
+    for delay, gain in taps:
+        out[delay * spread: delay * spread + len(x)] += gain * x
+    return out
+
+
+def cfo(x: np.ndarray, hz: float, rate: int) -> np.ndarray:
+    n = np.arange(len(x))
+    return np.asarray(x) * np.exp(2j * np.pi * hz * n / rate)
+
+
+def sfo(x: np.ndarray, ppm: float) -> np.ndarray:
+    """Resample by 1 + ppm*1e-6 (receiver clock running fast/slow)."""
+    factor = 1.0 + ppm * 1e-6
+    t = np.arange(int(len(x) / factor)) * factor
+    i0 = np.floor(t).astype(int)
+    i1 = np.minimum(i0 + 1, len(x) - 1)
+    frac = t - i0
+    x = np.asarray(x)
+    return x[i0] * (1 - frac) + x[i1] * frac
+
+
+def awgn(x: np.ndarray, db: float, rng=None) -> np.ndarray:
+    """Add complex Gaussian noise at `db` dB relative to full scale."""
+    rng = rng or np.random.default_rng(0)
+    sigma = 10.0 ** (db / 20.0)
+    noise = sigma * (rng.standard_normal(len(x)) +
+                     1j * rng.standard_normal(len(x))) / np.sqrt(2)
+    return np.asarray(x) + noise
+
+
+def reference_chain(x: np.ndarray, rate: int, rng=None,
+                    cfo_hz: float = 234.567, sfo_ppm: float = 147.0,
+                    awgn_db: float = -30.0) -> np.ndarray:
+    """The README.md:49 impairment chain with its published parameters."""
+    y = multipath(x)
+    y = cfo(y, cfo_hz, rate)
+    y = sfo(y, sfo_ppm)
+    return awgn(y, awgn_db, rng)

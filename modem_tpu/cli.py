@@ -1,0 +1,140 @@
+"""Reference-compatible command line interface.
+
+Mirrors the reference binaries' argv exactly (encode.cc:340,
+decode.cc:562):
+
+  python -m modem_tpu.cli encode OUTPUT RATE BITS CHANNELS OFFSET MODE \
+      CALLSIGN INPUT..
+  python -m modem_tpu.cli decode OUTPUT INPUT [SKIP]
+
+'-' means stdin/stdout for the data files, as in the reference
+(encode.cc:345-346,408-409; decode.cc:570-574).  Validation rules and
+diagnostics match the reference's stderr output where observable.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from . import bits as B
+from . import wav
+from .numerology import DATA_BYTES, MAX_CALL_SIGN, make_config
+
+
+def _read_input(name: str) -> bytes:
+    if name == "-":
+        data = sys.stdin.buffer.read(DATA_BYTES)
+    else:
+        with open(name, "rb") as f:
+            data = f.read(DATA_BYTES)
+    return data.ljust(DATA_BYTES, b"\xff")  # ifstream.get() past EOF
+
+
+def cmd_encode(argv: list[str]) -> int:
+    if len(argv) < 8:
+        print("usage: encode OUTPUT RATE BITS CHANNELS OFFSET MODE "
+              "CALLSIGN INPUT..", file=sys.stderr)
+        return 1
+    output_name, rate, out_bits, channels = (
+        argv[0], int(argv[1]), int(argv[2]), int(argv[3]))
+    freq_off, oper_mode, call_str = int(argv[4]), int(argv[5]), argv[6]
+    inputs = argv[7:]
+
+    if oper_mode < 6 or oper_mode > 13:
+        print("Unsupported operation mode.", file=sys.stderr)
+        return 1
+    call_sign = B.base37_encode(call_str)
+    if call_sign <= 0 or call_sign >= MAX_CALL_SIGN:
+        print("Unsupported call sign.", file=sys.stderr)
+        return 1
+    try:
+        cfg = make_config(rate, oper_mode, freq_off, channels)
+    except ValueError as e:
+        print(f"{e}.".replace("..", "."), file=sys.stderr)
+        return 1
+
+    from .encoder import Encoder
+    payloads = [_read_input(name) for name in inputs]
+    enc = Encoder(cfg)
+    wave_c, papr = enc.encode(payloads, call_sign)
+
+    def db(x):
+        return 10.0 * np.log10(x)
+
+    valid = papr[:, 0] > 0
+    print(f"real PAPR: {db(papr[valid, 0].min()):.4g} .. "
+          f"{db(papr[valid, 0].max()):.4g} dB", file=sys.stderr)
+    if channels == 2:
+        validq = papr[:, 1] > 0
+        print(f"imag PAPR: {db(papr[validq, 1].min()):.4g} .. "
+              f"{db(papr[validq, 1].max()):.4g} dB", file=sys.stderr)
+
+    silence = np.zeros(rate, dtype=np.complex64)
+    full = np.concatenate([silence, wave_c, silence])
+    if output_name == "-":
+        output_name = "/dev/stdout"
+    wav.write_wav(output_name, full, rate, out_bits, channels)
+    return 0
+
+
+def cmd_decode(argv: list[str]) -> int:
+    if len(argv) < 2 or len(argv) > 3:
+        print("usage: decode OUTPUT INPUT [SKIP]", file=sys.stderr)
+        return 1
+    output_name, input_name = argv[0], argv[1]
+    skip = int(argv[2]) if len(argv) > 2 else 0
+    if input_name == "-":
+        input_name = "/dev/stdin"
+
+    data = wav.read_wav(input_name)
+    if data.channels < 1 or data.channels > 2:
+        print("Only real or analytic signal (one or two channels) "
+              "supported.", file=sys.stderr)
+        return 1
+    from .decoder import Decoder
+    try:
+        dec = Decoder(data.rate)
+    except KeyError:
+        print("Unsupported sample rate.", file=sys.stderr)
+        return 1
+
+    samples = (data.samples[:, 0] if data.channels == 1
+               else data.samples[:, :2])
+    res = dec.decode(samples, channels=data.channels, skip=skip)
+    print(f"symbol pos: {res.symbol_pos}", file=sys.stderr)
+    print(f"coarse cfo: {res.cfo_hz:.6g} Hz ", file=sys.stderr)
+    if res.oper_mode >= 0:
+        print(f"oper mode: {res.oper_mode}", file=sys.stderr)
+        print(f"call sign: {res.call_sign}", file=sys.stderr)
+    if not res.ok:
+        print(res.status, file=sys.stderr)
+        return 1
+    print(f"coarse sfo: {res.sfo_ppm:.6g} ppm", file=sys.stderr)
+    snr = " ".join(f"{v:.4g}" for v in res.snr_db)
+    print(f"Es/N0 (dB): {snr}", file=sys.stderr)
+    print(f"bit flips: {res.bit_flips}", file=sys.stderr)
+    if output_name == "-":
+        output_name = "/dev/stdout"
+    with open(output_name, "wb") as f:
+        f.write(res.payload)
+    return 0
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv:
+        print("usage: modem_tpu.cli {encode|decode} ...", file=sys.stderr)
+        return 1
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "encode":
+        return cmd_encode(rest)
+    if cmd == "decode":
+        return cmd_decode(rest)
+    print(f"unknown command {cmd}", file=sys.stderr)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,248 @@
+"""Decode pipeline: WAV samples -> payload bytes.
+
+TPU-native re-design of the reference Decoder (decode.cc:161-557).  The
+reference is one constructor that streams samples through sync, header
+and payload stages; here the stages are jitted array passes over the
+whole recording, orchestrated host-side:
+
+  1. front-end (dsp.frontend): DC-block + Hilbert for mono input,
+  2. sync (sync.Synchronizer): vectorised Schmidl-Cox scan -> candidates,
+  3. header (jitted): CFO mixdown, N-point FFT, MLS1 descramble,
+     bin-differential int8 soft bits, order-4 OSD, CRC16 -> mode+callsign,
+  4. payload (jitted per (rate, mode)): batched per-row FFT demod with a
+     continuous CFO phasor, time-differential constellation, Theil-Sen
+     derotation, cumulative-SNR soft demap, lengthen,
+  5. SCL polar decode + CRC32 candidate select (device VM when available,
+     numpy reference otherwise), bit-flip count, descramble.
+
+The receiver's carrier layout is offset-free (code_off = -cols/2,
+mls1_off = -127; decode.cc:183-186,454): the coarse CFO estimate absorbs
+the transmit frequency offset.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import bits as B
+from . import cplx, dsp, fft, ofdm, psk, sync, track
+from .fec.osd import osd_decode
+from .fec.polar import PolarCode
+from .fec.scl_np import scl_decode_np
+from .numerology import MAX_CALL_SIGN, MODES, ModemConfig, make_config
+
+
+@dataclasses.dataclass
+class DecodeResult:
+    ok: bool
+    payload: Optional[bytes] = None
+    oper_mode: int = -1
+    call_sign: str = ""
+    symbol_pos: int = -1
+    cfo_hz: float = 0.0
+    sfo_ppm: float = 0.0
+    snr_db: Optional[np.ndarray] = None
+    bit_flips: int = -1
+    status: str = ""
+
+
+def _rx_config(rate: int, oper_mode: int) -> ModemConfig:
+    """Receiver-side config: offset-free carrier layout."""
+    return ModemConfig(rate=rate, mode=MODES[oper_mode], freq_off=0)
+
+
+class Decoder:
+    """Per-rate decoder; payload pipelines jit-specialise per mode."""
+
+    def __init__(self, rate: int, list_size: int = 8):
+        # mode choice does not affect the front-end/sync/header stages
+        self.rate = rate
+        self.cfg = ModemConfig(rate=rate, mode=MODES[6], freq_off=0)
+        self.list_size = list_size
+        self.sync = sync.Synchronizer(self.cfg)
+        self._header_jit = jax.jit(self._header_soft)
+        self._frontend_jit = jax.jit(
+            functools.partial(
+                dsp.frontend, channels=1,
+                dc_window=2 * self.cfg.extended_len,
+                taps=self.cfg.filter_len))
+
+    # ------------------------------------------------------------------
+    # header stage (decode.cc:398-446)
+    # ------------------------------------------------------------------
+    def _header_soft(self, window, cfo_rad):
+        """window: [N, 2] samples of the metadata symbol; returns int8-ish
+        soft bits [255] for the OSD."""
+        cfg = self.cfg
+        n = cfg.symbol_len
+        idx = jnp.arange(n, dtype=jnp.float32)
+        mixed = cplx.cmul(window, cplx.expi(-cfo_rad * idx))
+        spec = fft.fwd(mixed)
+        mls1_off = -(cfg.mls1_len // 2)
+        bins = jnp.asarray(
+            ofdm.bin_index(np.arange(cfg.mls1_len) + mls1_off, n))
+        seq = jnp.asarray(
+            B.mls_nrz(cfg.mls1_poly, cfg.mls1_len).astype(np.float32))
+        carriers = spec[bins] * seq[:, None]
+        prev_bins = jnp.asarray(
+            ofdm.bin_index(np.arange(cfg.mls1_len) + mls1_off - 1, n))
+        prev = spec[prev_bins]
+        # the i-1 carrier is descrambled by seq[i-1] for i>0; position
+        # -1 is the unscrambled amplitude reference (encode.cc:169)
+        prev_seq = jnp.concatenate(
+            [jnp.ones(1, jnp.float32), seq[:-1]])
+        prev = prev * prev_seq[:, None]
+        cons = ofdm.demod_or_erase(carriers, prev)
+        return jnp.clip(jnp.round(127.0 * cons[..., 0]), -128, 127)
+
+    def _decode_header(self, x: np.ndarray, cand: sync.SyncCandidate):
+        cfg = self.cfg
+        s, g = cfg.symbol_len, cfg.guard_len
+        lo = cand.p0 + s + g
+        if lo < 0 or lo + s > len(x):
+            return None, "header window out of range"
+        soft = self._header_jit(jnp.asarray(x[lo: lo + s]),
+                                jnp.float32(cand.cfo_rad))
+        data, unique = osd_decode(soft)
+        if not bool(unique):
+            return None, "OSD error"
+        data = np.asarray(data)
+        md = 0
+        for i in range(55):
+            md |= int(data[i]) << i
+        cs = 0
+        for i in range(16):
+            cs |= int(data[55 + i]) << i
+        if B.crc16.over_value(md << 9, 64) != cs:
+            return None, "header CRC error"
+        oper_mode = md & 255
+        if oper_mode not in MODES:
+            return None, f"operation mode {oper_mode} unsupported"
+        call = md >> 8
+        if call == 0 or call >= MAX_CALL_SIGN:
+            return None, "call sign unsupported"
+        return (oper_mode, call), "ok"
+
+    # ------------------------------------------------------------------
+    # payload stage (decode.cc:453-529)
+    # ------------------------------------------------------------------
+    @functools.lru_cache(maxsize=None)
+    def _payload_jit(self, oper_mode: int):
+        cfg = _rx_config(self.rate, oper_mode)
+        mode = cfg.mode
+        s, g = cfg.symbol_len, cfg.guard_len
+        code_off = -mode.cons_cols // 2
+        bins = ofdm.bin_index(
+            np.arange(code_off, code_off + mode.cons_cols), s)
+
+        def run(windows, cfo_rad):
+            """windows: [rows+1, S, 2] starting at the pilot symbol."""
+            w = jnp.arange(mode.cons_rows + 1,
+                           dtype=jnp.float32)[:, None]
+            k = jnp.arange(s, dtype=jnp.float32)[None, :]
+            # oscillator phase continues from the metadata symbol
+            # (advanced S there), through every guard (decode.cc:458-470)
+            phase = -cfo_rad * (s + w * (s + g) + k)
+            mixed = cplx.cmul(windows, cplx.expi(phase))
+            spec = fft.fwd(mixed)
+            carriers = spec[:, jnp.asarray(bins)]      # [rows+1, cols, 2]
+            cons = ofdm.demod_or_erase(carriers[1:], carriers[:-1])
+            cons, slope, yint = track.derotate_rows(cons, code_off,
+                                                    mode.mod_bits)
+            llrs, snr = track.soft_llrs(cons, mode.mod_bits)
+            return llrs.reshape(-1), snr, slope, yint
+
+        return jax.jit(run)
+
+    def _decode_payload(self, x: np.ndarray, cand: sync.SyncCandidate,
+                        oper_mode: int):
+        cfg = _rx_config(self.rate, oper_mode)
+        mode = cfg.mode
+        s, g = cfg.symbol_len, cfg.guard_len
+        q0 = cand.p0 + 2 * (s + g)              # pilot symbol start
+        rows = mode.cons_rows
+        offs = q0 + np.arange(rows + 1) * (s + g)
+        if offs[0] < 0 or offs[-1] + s > len(x):
+            return None
+        windows = np.stack([x[o: o + s] for o in offs])
+        llrs, snr, slope, yint = self._payload_jit(oper_mode)(
+            jnp.asarray(windows), jnp.float32(cand.cfo_rad))
+
+        code = PolarCode(n=mode.cons_bits, k=mode.crc_bits,
+                         order=mode.code_order)
+        full = code.lengthen_np(np.asarray(llrs, dtype=np.float64))
+        cands, _ = scl_decode_np(full, code.frozen, self.list_size)
+        info = code.extract_info_np(cands)
+        best = -1
+        for k_ in range(info.shape[0]):
+            if B.crc32.update_bits(0, info[k_]) == 0:
+                best = k_
+                break
+        if best < 0:
+            return None
+        mesg = info[best]
+        # bit flips vs received hard decisions (decode.cc:546-555)
+        received = full[code.info_idx[: mode.data_bits]] < 0
+        flips = int(np.sum(received != mesg[: mode.data_bits]))
+        payload = B.bits_to_bytes_le(mesg[: mode.data_bits])
+        sfo_ppm = float(-slope * s / (s + g) / (2 * np.pi) * 1e6)
+        cfo_fine = cand.cfo_rad + float(yint) / (s + g)
+        return dict(payload=B.scramble(payload), flips=flips,
+                    snr=np.asarray(snr), sfo_ppm=sfo_ppm,
+                    cfo_hz=cfo_fine * self.rate / (2 * np.pi))
+
+    # ------------------------------------------------------------------
+    # public API (decode.cc:559-620 semantics)
+    # ------------------------------------------------------------------
+    def decode(self, samples: np.ndarray, channels: int = 1,
+               skip: int = 0) -> DecodeResult:
+        """samples: [T] real mono or complex/[T,2] analytic recording."""
+        if channels == 1 and not np.iscomplexobj(samples):
+            x = np.asarray(self._frontend_jit(
+                jnp.asarray(samples, dtype=jnp.float32)))
+        else:
+            if np.iscomplexobj(samples):
+                x = cplx.from_np(samples)
+            else:
+                x = np.asarray(samples, dtype=np.float32)
+
+        result = DecodeResult(ok=False, status="no preamble found")
+        for cand in self.sync.scan(x):
+            if not cand.ok:
+                continue
+            hdr, status = self._decode_header(x, cand)
+            result.status = status
+            if hdr is None:
+                continue
+            if skip > 0:
+                skip -= 1
+                continue
+            oper_mode, call = hdr
+            result.oper_mode = oper_mode
+            result.call_sign = B.base37_decode(call).lstrip()
+            result.symbol_pos = cand.p0
+            result.cfo_hz = cand.cfo_rad * self.rate / (2 * np.pi)
+            pay = self._decode_payload(x, cand, oper_mode)
+            if pay is None:
+                result.status = "payload decoding error"
+                return result
+            result.ok = True
+            result.payload = pay["payload"]
+            result.bit_flips = pay["flips"]
+            result.snr_db = pay["snr"]
+            result.sfo_ppm = pay["sfo_ppm"]
+            result.cfo_hz = pay["cfo_hz"]
+            result.status = "ok"
+            return result
+        return result
+
+
+@functools.lru_cache(maxsize=None)
+def cached_decoder(rate: int, list_size: int = 8) -> Decoder:
+    return Decoder(rate, list_size)

@@ -2,10 +2,12 @@
 
 TPU-native re-design of the reference Encoder (encode.cc:27-318).  The
 reference's constructor-as-pipeline synthesises one symbol at a time;
-here a frame is assembled as a [frame_symbols, N] spectrum array on the
-host/trace boundary and synthesised with one batched IFFT pass
-(ofdm.synthesize).  The time-differential PSK accumulation across payload
-rows (encode.cc:304-308) becomes a cumulative product over the row axis.
+here a frame is assembled as a [frame_symbols, N, 2] split-complex
+spectrum array and synthesised with one batched matmul-IFFT pass
+(ofdm.synthesize).  The time-differential PSK accumulation across
+payload rows (encode.cc:304-308) becomes a cumulative *phase* sum over
+the row axis — exact for unit-modulus PSK factors, with no error
+accumulation.
 
 Frame layout on air (encode.cc:288-313):
   [1 s silence] [pilot] { [schmidl_cox] [metadata] [pilot] [payload rows] }
@@ -21,10 +23,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import bits as B
-from . import ofdm, psk
+from . import cplx, ofdm, psk
 from .fec import bch
 from .fec.polar import PolarCode
-from .numerology import ModemConfig
+from .numerology import MLS2_POLY, ModemConfig
 
 
 class Encoder:
@@ -39,15 +41,16 @@ class Encoder:
                               order=mode.code_order)
 
         # --- pilot block spectrum (encode.cc:132-141) ---------------------
-        code_fac = np.sqrt(n / mode.cons_cols)
+        self.code_fac = float(np.sqrt(n / mode.cons_cols))
         pilot = np.zeros(n, dtype=np.complex64)
-        seq2 = B.mls_nrz(0b100101010001, mode.cons_cols)
+        seq2 = B.mls_nrz(MLS2_POLY, mode.cons_cols)
         cols_bins = ofdm.bin_index(
             np.arange(cfg.code_off, cfg.code_off + mode.cons_cols), n)
-        pilot[cols_bins] = code_fac * seq2
+        pilot[cols_bins] = self.code_fac * seq2
         self.pilot_fdom = pilot
         self.cols_bins = cols_bins
-        self.pilot_carriers = pilot[cols_bins]
+        # pilot carrier phases: 0 or pi (the +/-1 MLS2 signs)
+        self.pilot_phase = np.where(seq2 > 0, 0.0, np.pi).astype(np.float32)
 
         # --- Schmidl-Cox preamble spectrum (encode.cc:142-154) ------------
         mls0_fac = np.sqrt(2.0 * n / cfg.mls0_len)
@@ -56,16 +59,14 @@ class Encoder:
         seq0 = B.mls_nrz(cfg.mls0_poly, cfg.mls0_len)
         even_bins = ofdm.bin_index(
             2 * np.arange(cfg.mls0_len) + cfg.mls0_off, n)
-        vals = sc[ofdm.bin_index(cfg.mls0_off - 2, n)]
-        acc = vals
-        for i in range(cfg.mls0_len):
-            acc = acc * seq0[i]
-            sc[even_bins[i]] = acc
+        # cumulative differential over the even bins, seeded by the
+        # reference-amplitude carrier two bins below
+        sc[even_bins] = mls0_fac * np.cumprod(seq0)
         self.sc_fdom = sc
 
         # --- metadata scrambler (encode.cc:165-177) -----------------------
         self.mls1_seq = B.mls_nrz(cfg.mls1_poly, cfg.mls1_len)
-        self.mls1_fac = np.sqrt(n / cfg.mls1_len)
+        self.mls1_fac = float(np.sqrt(n / cfg.mls1_len))
 
         self._encode_jit = jax.jit(self._encode_traced,
                                    static_argnames=("n_frames",))
@@ -106,50 +107,49 @@ class Encoder:
         # tail stays 0: shortened info bits pinned to bit 0 (+1 NRZ)
         return mesg
 
-    def _payload_factors(self, mesg):
-        """mesg bits [F, mesg_bits] -> unit PSK factors [F, rows, cols]."""
-        mode = self.cfg.mode
-        cw = self.code.encode_systematic(mesg)
-        short = cw[..., jnp.asarray(self.code.kept_idx)]
-        grouped = short.reshape(short.shape[0], mode.cons_rows,
-                                mode.cons_cols, mode.mod_bits)
-        return psk.mod_map(mode.mod_bits,
-                           (1.0 - 2.0 * grouped.astype(jnp.float32)))
-
     def _encode_traced(self, mesg, meta_fdom, n_frames: int):
         cfg = self.cfg
         mode = cfg.mode
         n = cfg.symbol_len
-        factors = self._payload_factors(mesg)          # [F, rows, cols]
-        # Time-differential accumulation seeded by the pilot (encode.cc:304-308).
-        chain = jnp.cumprod(factors, axis=1)
-        carriers = jnp.asarray(self.pilot_carriers)[None, None, :] * chain
-        payload_rows = jnp.zeros((n_frames, mode.cons_rows, n),
-                                 dtype=jnp.complex64)
-        payload_rows = payload_rows.at[
-            :, :, jnp.asarray(self.cols_bins)].set(carriers)
 
+        # payload bits -> per-(row, carrier) unit PSK phase increments
+        cw = self.code.encode_systematic(mesg)
+        short = cw[..., jnp.asarray(self.code.kept_idx)]
+        grouped = short.reshape(n_frames, mode.cons_rows, mode.cons_cols,
+                                mode.mod_bits)
+        theta = psk.mod_phase(mode.mod_bits,
+                              1.0 - 2.0 * grouped.astype(jnp.float32))
+
+        # Time-differential accumulation seeded by the pilot
+        # (encode.cc:304-308), exact in the phase domain.
+        phase = jnp.asarray(self.pilot_phase)[None, None, :] + jnp.cumsum(
+            theta, axis=1)
+        carriers = self.code_fac * cplx.expi(phase)   # [F, rows, cols, 2]
+        payload_rows = jnp.zeros((n_frames, mode.cons_rows, n, 2),
+                                 dtype=jnp.float32)
+        payload_rows = payload_rows.at[
+            :, :, jnp.asarray(self.cols_bins), :].set(carriers)
+
+        sc = jnp.asarray(cplx.from_np(self.sc_fdom))
+        pil = jnp.asarray(cplx.from_np(self.pilot_fdom))
         per_frame = jnp.concatenate([
-            jnp.broadcast_to(jnp.asarray(self.sc_fdom), (n_frames, 1, n)),
-            meta_fdom[:, None, :],
-            jnp.broadcast_to(jnp.asarray(self.pilot_fdom),
-                             (n_frames, 1, n)),
-            payload_rows], axis=1)                     # [F, 3+rows, N]
-        frames = per_frame.reshape(-1, n)
+            jnp.broadcast_to(sc, (n_frames, 1, n, 2)),
+            meta_fdom[:, None],
+            jnp.broadcast_to(pil, (n_frames, 1, n, 2)),
+            payload_rows], axis=1)                    # [F, 3+rows, N, 2]
         fdom = jnp.concatenate([
-            jnp.asarray(self.pilot_fdom)[None, :],     # leading pilot
-            frames,
-            jnp.zeros((1, n), dtype=jnp.complex64)], axis=0)  # flush
+            pil[None],                                # leading pilot
+            per_frame.reshape(-1, n, 2),
+            jnp.zeros((1, n, 2), dtype=jnp.float32)], axis=0)  # flush
 
         papr_mask = np.ones(fdom.shape[0], dtype=bool)
         papr_mask[1 + np.arange(n_frames) * cfg.frame_symbols] = False  # S&C
         return ofdm.synthesize(fdom, cfg.guard_len, papr_mask)
 
-    def encode(self, payloads, call_sign: int,
-               scramble: bool = True):
-        """payload blocks -> (complex waveform, papr metrics).
+    def encode(self, payloads, call_sign: int, scramble: bool = True):
+        """payload blocks -> (complex waveform [T], papr metrics).
 
-        `payloads`: bytes (one frame) or list of bytes.  The returned
+        ``payloads``: bytes (one frame) or list of bytes.  The returned
         waveform excludes the 1 s silence pads; wav writing adds them
         (encode.cc:423,441).
         """
@@ -158,10 +158,11 @@ class Encoder:
         if scramble:
             payloads = [B.scramble(p) for p in payloads]
         mesg = np.stack([self.mesg_bits(p) for p in payloads])
-        meta = np.broadcast_to(self.meta_fdom(call_sign),
-                               (len(payloads), self.cfg.symbol_len))
+        meta = np.broadcast_to(
+            cplx.from_np(self.meta_fdom(call_sign)),
+            (len(payloads), self.cfg.symbol_len, 2))
         wave, papr = self._encode_jit(mesg, meta, n_frames=len(payloads))
-        return np.asarray(wave), np.asarray(papr)
+        return cplx.to_np(wave), np.asarray(papr)
 
 
 @functools.lru_cache(maxsize=None)

@@ -3,15 +3,16 @@
 TPU-native re-design of the reference's per-symbol streaming synthesis
 (encode.cc:80-131).  The reference synthesises one symbol at a time
 through member-state FFTs; here a whole frame's worth of symbols is one
-batched IFFT plus vectorised clip-and-filter, and the guard crossfade —
-the only cross-symbol dependency — becomes a one-symbol shift instead of
-carried state.
+batched matmul-DFT pass (fft.py) plus vectorised clip-and-filter, and
+the guard crossfade — the only cross-symbol dependency — becomes a
+one-symbol shift instead of carried state.  All complex data is
+split-complex [..., 2] (cplx.py); no complex dtypes touch the device.
 
 Conventions matched to the reference:
-  * FFT sign/scale: fwd = unnormalised e^{-j}, bwd = unnormalised e^{+j}
-    (DSP::FastFourierTransform semantics); all normalisation explicit.
+  * fwd/bwd are unnormalised (DSP::FastFourierTransform semantics);
+    every scale factor is explicit, mirroring encode.cc:88,97,109.
   * improve_papr (encode.cc:80-100): 4x zero-padded oversample, clip
-    |re|,|im| to 1, refilter, keep only originally-occupied bins.
+    |re| and |im| to 1, refilter, keep only originally-occupied bins.
   * symbol IFFT scaled 1/sqrt(8 N) for 3 dB headroom (encode.cc:109).
   * guard = raised-cosine crossfade between the previous symbol's head
     and the current symbol's tail — windowed OFDM, not a cyclic prefix
@@ -23,68 +24,78 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from . import cplx, fft
+
 
 def bin_index(carrier, n: int):
     """Negative-frequency-aware bin mapping (encode.cc:68-71)."""
     return (np.asarray(carrier) + n) % n
 
 
+def demod_or_erase(curr, prev):
+    """Differential demod with erasures (decode.cc:62-70): returns
+    curr/prev, or 0 where |prev|^2 == 0 or |curr/prev|^2 > 4 (NaNs
+    erase too, via the negated comparisons)."""
+    num = cplx.cmul_conj(curr, prev)
+    den = cplx.abs2(prev)
+    cons = num / jnp.maximum(den, 1e-30)[..., None]
+    ok = (den > 0) & (cplx.abs2(cons) <= 4.0)
+    return jnp.where(ok[..., None], cons, 0.0)
+
+
 def improve_papr(fdom):
     """Batched 4x-oversampled clip-and-filter (encode.cc:80-100).
 
-    fdom: [..., N] complex symbol spectra.  Returns spectra with reduced
-    peak-to-average ratio; bins that were exactly zero stay zero.
+    fdom: [..., N, 2] split-complex symbol spectra.  Bins that were
+    exactly zero stay zero.
     """
-    n = fdom.shape[-1]
-    lead = fdom.shape[:-1]
-    zeros = jnp.zeros(lead + (3 * n,), dtype=fdom.dtype)
-    # fdom4[bin4(i)] = fdom[bin(i)] for i in [-N/2, N/2): the low half of
-    # the N-spectrum keeps its bins, the negative half moves to the top.
+    n = fdom.shape[-2]
+    lead = fdom.shape[:-2]
+    zeros = jnp.zeros(lead + (3 * n, 2), dtype=fdom.dtype)
+    # fdom4[bin4(i)] = fdom[bin(i)] for i in [-N/2, N/2): low half keeps
+    # its bins, the negative half moves to the top of the 4N spectrum.
     fdom4 = jnp.concatenate(
-        [fdom[..., : n // 2], zeros, fdom[..., n // 2:]], axis=-1)
-    # bwd4 then /sqrt(4N): unnormalised inverse DFT = 4N * ifft.
-    tdom4 = jnp.fft.ifft(fdom4, axis=-1) * jnp.sqrt(jnp.asarray(4.0 * n))
-    amp = jnp.maximum(jnp.abs(tdom4.real), jnp.abs(tdom4.imag))
-    tdom4 = jnp.where(amp > 1.0, tdom4 / amp, tdom4)
-    spec = jnp.fft.fft(tdom4, axis=-1) / jnp.sqrt(jnp.asarray(4.0 * n))
+        [fdom[..., : n // 2, :], zeros, fdom[..., n // 2:, :]], axis=-2)
+    tdom4 = fft.bwd(fdom4) / np.sqrt(4.0 * n)
+    amp = jnp.maximum(jnp.abs(tdom4[..., 0]), jnp.abs(tdom4[..., 1]))
+    tdom4 = jnp.where((amp > 1.0)[..., None], tdom4 / amp[..., None],
+                      tdom4)
+    spec = fft.fwd(tdom4) / np.sqrt(4.0 * n)
     clipped = jnp.concatenate(
-        [spec[..., : n // 2], spec[..., 3 * n + n // 2:]], axis=-1)
-    return jnp.where(fdom != 0, clipped, 0)
+        [spec[..., : n // 2, :], spec[..., 3 * n + n // 2:, :]], axis=-2)
+    occupied = (cplx.abs2(fdom) > 0)[..., None]
+    return jnp.where(occupied, clipped, 0.0)
 
 
 def synthesize(fdom, guard_len: int, papr_mask=None):
-    """Spectra [n_sym, N] -> (waveform [n_sym*(G+N)], papr [n_sym, 2]).
+    """Spectra [n_sym, N, 2] -> (waveform [n_sym*(G+N), 2], papr [n_sym, 2]).
 
     Applies PAPR reduction where ``papr_mask`` (bool [n_sym]) is true
     (the Schmidl-Cox symbol skips it, encode.cc:153), synthesises all
-    symbols as one batched IFFT, and emits [guard | symbol] per row with
+    symbols with one batched IFFT, and emits [guard | symbol] rows with
     the raised-cosine crossfade.  The caller appends the all-zero flush
     symbol as the last row (encode.cc:311-313).
     """
-    n_sym, n = fdom.shape
+    n_sym, n, _ = fdom.shape
     shaped = improve_papr(fdom)
     if papr_mask is not None:
-        shaped = jnp.where(jnp.asarray(papr_mask)[:, None], shaped, fdom)
-    tdom = jnp.fft.ifft(shaped, axis=-1) * (n / jnp.sqrt(jnp.asarray(8.0 * n)))
+        shaped = jnp.where(jnp.asarray(papr_mask)[:, None, None], shaped,
+                           fdom)
+    tdom = fft.bwd(shaped) / np.sqrt(8.0 * n)
 
-    # Raised-cosine crossfade guard (encode.cc:110-114): between the head
-    # of the previous symbol and the tail of the current one.
+    # Raised-cosine crossfade guard (encode.cc:110-114).
     x = jnp.arange(guard_len) / (guard_len - 1)
-    w = 0.5 * (1.0 - jnp.cos(jnp.pi * x))
+    w = (0.5 * (1.0 - jnp.cos(jnp.pi * x)))[None, :, None]
     heads = tdom[:, :guard_len]
     tails = tdom[:, n - guard_len:]
     prev_heads = jnp.concatenate(
-        [jnp.zeros((1, guard_len), tdom.dtype), heads[:-1]], axis=0)
-    guards = prev_heads * (1.0 - w)[None, :] + tails * w[None, :]
+        [jnp.zeros((1, guard_len, 2), tdom.dtype), heads[:-1]], axis=0)
+    guards = prev_heads * (1.0 - w) + tails * w
 
-    # Per-symbol PAPR on each axis (encode.cc:115-126), as metrics.
-    power_re = tdom.real ** 2
-    power_im = tdom.imag ** 2
-    papr = jnp.stack(
-        [n * jnp.max(power_re, axis=1) /
-         jnp.maximum(jnp.sum(power_re, axis=1), 1e-30),
-         n * jnp.max(power_im, axis=1) /
-         jnp.maximum(jnp.sum(power_im, axis=1), 1e-30)], axis=-1)
+    # Per-symbol per-axis PAPR (encode.cc:115-126), as metrics.
+    power = tdom ** 2                                   # [n_sym, N, 2]
+    papr = n * jnp.max(power, axis=1) / jnp.maximum(
+        jnp.sum(power, axis=1), 1e-30)
 
-    wave = jnp.concatenate([guards, tdom], axis=1).reshape(-1)
+    wave = jnp.concatenate([guards, tdom], axis=1).reshape(-1, 2)
     return wave, papr

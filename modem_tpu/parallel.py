@@ -1,0 +1,96 @@
+"""Multi-chip scaling: frame-batch data parallelism over a device mesh.
+
+The reference is single-threaded (SURVEY.md §2.5); the TPU-native
+scaling story is pure DP — frames are independent, so the batch axis
+shards across chips with `shard_map` over a 1-D mesh and a single
+all-gather of decoded payload bits rides the ICI (no intra-frame state
+ever crosses chips).  This module also provides the toy end-to-end
+configuration used by the multichip dry-run (tiny symbol/code sizes,
+same pipeline code paths).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .numerology import ModeSpec, ModemConfig, toy_mode
+from .pipeline import BatchPipeline
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), ("dp",))
+
+
+def sharded_decode(pipe: BatchPipeline, mesh: Mesh):
+    """Batched decode sharded over the 'dp' mesh axis.
+
+    Returns a jitted fn: recordings [B, T, 2] (B divisible by mesh size)
+    -> dict with 'bits' [B, data_bits] all-gathered onto every chip and
+    per-frame flags sharded back out.
+    """
+
+    def local(recs):
+        out = jax.vmap(pipe._decode_one)(recs)
+        # all-gather payload bits across chips (the one collective)
+        bits = jax.lax.all_gather(out["bits"], "dp", tiled=True)
+        return {"bits": bits, "ok": out["ok"], "flips": out["flips"]}
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=P("dp"),
+        out_specs={"bits": P(), "ok": P("dp"), "flips": P("dp")},
+        # the all-gathered bits are replicated by construction; the vma
+        # checker cannot infer that through the scan/switch pipeline
+        check_vma=False)
+    return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# Toy end-to-end configuration (tiny shapes, real pipeline code paths)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def toy_config() -> ModemConfig:
+    """256-bin symbols, order-10 polar code, QPSK, 15 payload rows.
+
+    Small enough for CPU dry-runs; structurally identical to the wire
+    format (the real MLS preambles still fit in 256 bins).
+    """
+    mode = toy_mode(code_order=10, cons_cols=32, mod_bits=2,
+                    shorten=64, data_bits=448)
+    return ModemConfig(rate=8000, mode=mode, freq_off=0,
+                       symbol_len_override=256)
+
+
+def toy_pipeline(list_size: int = 4) -> BatchPipeline:
+    cfg = toy_config()
+    return BatchPipeline(rate=cfg.rate, oper_mode=0, list_size=list_size,
+                         mode_spec=cfg.mode,
+                         symbol_len_override=cfg.symbol_len)
+
+
+def toy_recordings(batch: int, seed: int = 0):
+    """Encode `batch` toy frames -> (recordings [B, T, 2], payloads)."""
+    from . import bits as B
+    from . import cplx
+    from .encoder import Encoder
+
+    cfg = toy_config()
+    enc = Encoder(cfg)
+    rng = np.random.default_rng(seed)
+    sil = np.zeros(cfg.symbol_len, dtype=np.complex64)
+    recs, payloads = [], []
+    for _ in range(batch):
+        payload = rng.integers(0, 256, cfg.mode.data_bytes,
+                               dtype=np.uint8).tobytes()
+        wave, _ = enc.encode(payload, B.base37_encode("TOY"))
+        recs.append(np.concatenate([sil, wave, sil]))
+        payloads.append(payload)
+    return cplx.from_np(np.stack(recs)), payloads

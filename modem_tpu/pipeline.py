@@ -1,0 +1,121 @@
+"""Fully-jitted batched decode pipeline (the throughput path).
+
+The interactive decoder (decoder.py) orchestrates host-side for the
+general case (unknown mode, retry semantics).  This module is the
+serving path for SURVEY.md §2.5 / BASELINE config 5: a batch of
+recordings with a known (rate, mode) decodes as ONE jitted function —
+sync argmax, fine CFO, batched FFT demod, Theil-Sen, soft demap,
+lengthen, SCL VM, CRC select — with no host round-trips, vmapped over
+frames and shard_map-able over a device mesh (parallel.py).
+
+Single-candidate sync: the batch path assumes one frame per recording
+and takes the global timing argmax instead of the Schmitt-trigger retry
+scan (the reference's acquisition loop, decode.cc:390-448, exists for
+streaming; batch jobs know their framing).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import bits as B
+from . import cplx, fft, ofdm, sync, track
+from .fec.polar import PolarCode
+from .fec.scl_vm import make_decoder
+from .numerology import MODES, ModemConfig
+
+
+class BatchPipeline:
+    """Jit-once batched decoder for one (rate, mode, recording length)."""
+
+    def __init__(self, rate: int, oper_mode: int, list_size: int = 8,
+                 mode_spec=None, symbol_len_override=None):
+        mode = mode_spec if mode_spec is not None else MODES[oper_mode]
+        self.cfg = ModemConfig(rate=rate, mode=mode, freq_off=0,
+                               symbol_len_override=symbol_len_override)
+        cfg = self.cfg
+        self.code = PolarCode(n=mode.cons_bits, k=mode.crc_bits,
+                              order=mode.code_order)
+        self.sync = sync.Synchronizer(cfg)
+        self.scl = make_decoder(self.code.frozen, list_size)
+        self.crc_mat = np.asarray(
+            B.crc32.check_matrix(mode.crc_bits), dtype=np.float32)
+        self.list_size = list_size
+        self._decode_batch = jax.jit(jax.vmap(self._decode_one))
+
+    # -- single recording, fully traced ------------------------------------
+    def _sync_argmax(self, x):
+        """Single-candidate sync: global timing argmax (no Schmitt scan)."""
+        s = self.sync
+        timing, phase = s._metrics(x)
+        n_max = jnp.argmax(timing)
+        p0 = n_max - s.match_del
+        fc = phase[jnp.maximum(n_max - s.match_del, 0)] / s.L
+        return p0, fc
+
+    def _decode_one(self, x):
+        """x: [T, 2] analytic recording -> dict of results."""
+        cfg = self.cfg
+        mode = cfg.mode
+        s, g = cfg.symbol_len, cfg.guard_len
+        rows = mode.cons_rows
+        code_off = -mode.cons_cols // 2
+        bins = ofdm.bin_index(
+            np.arange(code_off, code_off + mode.cons_cols), s)
+
+        p0, fc = self._sync_argmax(x)
+        window = jax.lax.dynamic_slice(x, (p0 + self.sync.L, 0),
+                                       (self.sync.L, 2))
+        shift, pos_err, peak, nxt, _ = self.sync._fine_stage(window, fc)
+        p0 = p0 - pos_err
+        cfo = shift.astype(jnp.float32) * (2.0 * np.pi / self.sync.L) - fc
+        cfo = jnp.where(cfo >= np.pi, cfo - 2.0 * np.pi, cfo)
+
+        # payload windows: pilot + rows (decode.cc:456-470)
+        q0 = p0 + 2 * (s + g)
+        idx = (q0 + jnp.arange(rows + 1)[:, None] * (s + g) +
+               jnp.arange(s)[None, :])
+        windows = x[idx]                              # [rows+1, S, 2]
+        w = jnp.arange(rows + 1, dtype=jnp.float32)[:, None]
+        k = jnp.arange(s, dtype=jnp.float32)[None, :]
+        phase = -cfo * (s + w * (s + g) + k)
+        spec = fft.fwd(cplx.cmul(windows, cplx.expi(phase)))
+        carriers = spec[:, jnp.asarray(bins)]
+        cons = ofdm.demod_or_erase(carriers[1:], carriers[:-1])
+        cons, slope, yint = track.derotate_rows(cons, code_off,
+                                                mode.mod_bits)
+        llrs, snr = track.soft_llrs(cons, mode.mod_bits)
+        full = self.code.lengthen(llrs.reshape(-1))
+
+        codewords, pm = self.scl(full)                # [L, code_len]
+        info = codewords[:, jnp.asarray(self.code.info_idx[: mode.crc_bits])]
+        # CRC32 over each path via GF(2) matmul (decode.cc:533-541)
+        rem = jnp.mod(jnp.dot(info.astype(jnp.float32),
+                              jnp.asarray(self.crc_mat),
+                              preferred_element_type=jnp.float32), 2.0)
+        crc_ok = jnp.sum(rem, axis=-1) == 0
+        # best = lowest-metric path passing CRC
+        pm_sel = jnp.where(crc_ok, pm, jnp.inf)
+        best = jnp.argmin(pm_sel)
+        payload_bits = info[best, : mode.data_bits]
+        received = full[jnp.asarray(
+            self.code.info_idx[: mode.data_bits])] < 0
+        flips = jnp.sum(received != payload_bits.astype(bool))
+        return dict(ok=jnp.any(crc_ok), bits=payload_bits.astype(jnp.uint8),
+                    p0=p0, cfo_rad=cfo, snr=snr, flips=flips,
+                    sync_gate=(peak > 4.0 * nxt))
+
+    # -- public ------------------------------------------------------------
+    def decode_batch(self, recordings):
+        """recordings: [B, T] complex np or [B, T, 2] -> result dict."""
+        if np.iscomplexobj(recordings):
+            recordings = cplx.from_np(recordings)
+        return self._decode_batch(jnp.asarray(recordings))
+
+    def payload_bytes(self, result, i: int) -> bytes:
+        bits = np.asarray(result["bits"][i])
+        return B.scramble(B.bits_to_bytes_le(bits))

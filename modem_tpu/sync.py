@@ -6,33 +6,32 @@ time through sliding-window sums (SMA), a Schmitt trigger and an argmax
 tracker; here the whole recording is processed as arrays:
 
   * the three sliding windows (correlation P over L, power R over 2L,
-    timing match over guard_len|1) become cumulative-sum differences,
+    timing match over guard_len|1) become cumulative-sum differences
+    computed in float64 (SURVEY.md §7 hard part 5: the reference's
+    recursive SMA has no drift; a plain f32 cumsum would),
   * the Schmitt trigger + falling-edge detection become an associative
     boolean scan,
   * the per-event fine stage (fractional-CFO mixdown, L-point FFT,
     adjacent-bin differential, circular correlation against the MLS0
     kernel) is a batched jitted function over all candidate peaks.
 
-All positions are in recording coordinates: ``p0`` points at the first
+All data is split-complex [..., 2] (no complex dtypes on device) and
+all positions are in recording coordinates: ``p0`` points at the first
 sample of the Schmidl-Cox symbol's payload (after its guard), matching
-the reference's ``symbol_pos`` (relative buffer offsets collapse away;
-see decode.cc:84-152 and SURVEY.md §3.2).
-
-Numerics note (SURVEY.md §7 hard part 5): window sums run in float64 to
-avoid cumulative-sum drift the reference's recursive SMA does not have.
+the reference's ``symbol_pos`` once the sliding-buffer offsets collapse
+(decode.cc:84-152, SURVEY.md §3.2).
 """
 
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from . import bits as B
-from . import ofdm
+from . import cplx, fft, ofdm
 from .numerology import ModemConfig
 
 
@@ -46,9 +45,9 @@ def window_sum(x, w: int):
 def schmitt_falling(timing, lo: float, hi: float):
     """Hysteresis trigger state + falling edges, vectorised.
 
-    s[n] = (t[n] > hi) | (t[n] >= lo & s[n-1])  — an associative boolean
-    recurrence composed with lax.associative_scan (decode.cc:49-50,93-94).
-    Returns (collect_state, falling_edge) bool arrays.
+    s[n] = (t[n] > hi) | (t[n] >= lo & s[n-1]) — an associative boolean
+    recurrence composed with lax.associative_scan (decode.cc:49-50,
+    93-94).  Returns (collect_state, falling_edge).
     """
     a = timing > hi
     b = timing >= lo
@@ -86,93 +85,95 @@ class Synchronizer:
         self.thr_hi = 0.19 * self.match_len
 
         # Matched kernel from the decoder-side MLS0 layout over L bins
-        # (decode.cc:236-244, 76-83).
+        # (decode.cc:236-244, 76-83): kern = conj(FFT(seq)) / L.  The
+        # receiver layout is offset-free (mls0_off = -mls0_len + 1,
+        # decode.cc:183): the integer-CFO search absorbs the transmit
+        # frequency offset.
         seq = np.zeros(L, dtype=np.complex64)
         mls0 = B.mls_nrz(cfg.mls0_poly, cfg.mls0_len)
-        bins = (np.arange(cfg.mls0_len) + cfg.mls0_off // 2 + L) % L
+        rx_off = -(cfg.mls0_len - 1)
+        bins = (np.arange(cfg.mls0_len) + rx_off // 2 + L) % L
         seq[bins] = mls0
-        self.kern = np.conj(np.fft.fft(seq)) / L
+        self.kern = cplx.from_np(np.conj(np.fft.fft(seq)) / L)
 
         self._metrics_jit = jax.jit(self._metrics)
         self._fine_jit = jax.jit(jax.vmap(self._fine_stage))
 
     # -- stage 1: whole-recording timing metric ---------------------------
     def _metrics(self, x):
+        """x: [T, 2] split-complex recording -> (timing, phase) arrays
+        indexed so that timing[n] corresponds to a S&C symbol whose
+        payload starts at n - match_del (before the fine correction)."""
         L = self.L
-        T = x.shape[-1]
-        xc = x.astype(jnp.complex64)
-        a = xc[..., L: T - L]            # x[v + L]
-        bseg = xc[..., 2 * L:]           # x[v + 2L]
-        prod = (a * jnp.conj(bseg)).astype(jnp.complex128)
-        p = window_sum(prod, L)
-        power = window_sum(jnp.abs(bseg).astype(jnp.float64) ** 2, 2 * L)
+        a = x[L:-L].astype(jnp.float64)          # x[v + L]
+        b = x[2 * L:].astype(jnp.float64)        # x[v + 2L]
+        a = a[: b.shape[0]]
+        prod = cplx.cmul_conj(a, b)
+        p_re = window_sum(prod[..., 0], L)
+        p_im = window_sum(prod[..., 1], L)
+        power = window_sum(cplx.abs2(b), 2 * L)
         r = jnp.maximum(0.5 * power, 1e-4 * L)
-        timing = window_sum(jnp.abs(p) ** 2 / (r * r), self.match_len)
-        phase = jnp.angle(p)
+        timing = window_sum((p_re**2 + p_im**2) / (r * r), self.match_len)
+        phase = jnp.arctan2(p_im, p_re)
         return timing.astype(jnp.float32), phase.astype(jnp.float32)
 
     # -- stage 2: fine timing / CFO at one candidate ----------------------
     def _fine_stage(self, window, frac_cfo):
-        """window: [L] samples at x[p0+L : p0+2L] (second half of the S&C
-        symbol); returns (shift, pos_err, peak, next_peak, peak_phase)."""
+        """window: [L, 2] samples at x[p0+L : p0+2L] (second half of the
+        S&C symbol); returns (shift, pos_err, peak, next, peak_phase) —
+        decode.cc:110-146."""
         L = self.L
-        idx = jnp.arange(L)
-        mixed = window * jnp.exp(1j * frac_cfo * idx).astype(jnp.complex64)
-        spec = jnp.fft.fft(mixed)
-        prev = jnp.roll(spec, 1)
+        idx = jnp.arange(L, dtype=jnp.float32)
+        mixed = cplx.cmul(window, cplx.expi(frac_cfo * idx))
+        spec = fft.fwd(mixed)
+        prev = jnp.roll(spec, 1, axis=-2)
         cons = ofdm.demod_or_erase(spec, prev)
-        corr = jnp.fft.ifft(jnp.fft.fft(cons) * jnp.asarray(self.kern)) * L
-        pwr = jnp.abs(corr) ** 2
+        corr = fft.bwd(cplx.cmul(fft.fwd(cons), jnp.asarray(self.kern)))
+        pwr = cplx.abs2(corr)
         shift = jnp.argmax(pwr)
         peak = pwr[shift]
-        next_peak = jnp.max(jnp.where(idx == shift, -jnp.inf, pwr))
-        pos_err = jnp.round(jnp.angle(corr[shift]) * L /
-                            (2.0 * jnp.pi)).astype(jnp.int32)
-        return shift, pos_err, peak, next_peak, jnp.angle(corr[shift])
+        nxt = jnp.max(jnp.where(jnp.arange(L) == shift, -jnp.inf, pwr))
+        ang = jnp.arctan2(corr[shift, 1], corr[shift, 0])
+        pos_err = jnp.round(ang * L / (2.0 * np.pi)).astype(jnp.int32)
+        return shift, pos_err, peak, nxt, ang
 
     # -- public API --------------------------------------------------------
     def scan(self, x: np.ndarray, max_candidates: int = 8):
-        """Find S&C preambles in a recording (analytic complex samples).
+        """Find S&C preambles in a recording (complex np or [T,2] array).
 
-        Returns a list of SyncCandidate in time order, gates applied
-        (uniqueness peak > 4*next, |pos_err| <= guard/2; decode.cc:140-145).
+        Returns SyncCandidates in time order with the reference's gates
+        applied (peak > 4*next, |pos_err| <= guard/2; decode.cc:140-145).
         """
         cfg = self.cfg
         L = self.L
+        if np.iscomplexobj(x):
+            x = cplx.from_np(x)
         timing, phase = self._metrics_jit(jnp.asarray(x))
         timing = np.asarray(timing)
         phase = np.asarray(phase)
-        state, falling = np.asarray(
-            schmitt_falling(jnp.asarray(timing), self.thr_lo, self.thr_hi))
-        falling = np.asarray(falling)
+        state, falling = (np.asarray(v) for v in schmitt_falling(
+            jnp.asarray(timing), self.thr_lo, self.thr_hi))
 
         events = []
-        edges = np.nonzero(falling)[0]
-        start = 0
-        for edge in edges[:max_candidates * 4]:
-            # region of collect=true ending at this edge
-            region = np.nonzero(~state[start:edge])[0]
-            rstart = start + (region[-1] + 1 if len(region) else 0)
-            seg = timing[rstart:edge]
-            if not len(seg):
-                start = edge
-                continue
-            n_max = rstart + int(np.argmax(seg))
-            start = edge
+        for edge in np.nonzero(falling)[0][: max_candidates]:
+            # start of the collect region that ends at this edge
+            prior = np.nonzero(~state[:edge])[0]
+            rstart = prior[-1] + 1 if len(prior) else 0
+            n_max = rstart + int(np.argmax(timing[rstart:edge]))
             index_max = min(edge - 1 - n_max + self.match_del,
                             L + cfg.guard_len + self.match_del)
-            p0 = (edge - 1) - index_max      # == n_max - match_del if uncapped
+            p0 = (edge - 1) - index_max   # == n_max - match_del if uncapped
             fc = float(phase[max(n_max - self.match_del, 0)]) / L
             events.append((p0, fc))
         if not events:
             return []
 
-        p0s = np.array([e[0] for e in events])
-        fcs = np.array([e[1] for e in events], dtype=np.float32)
-        wins = np.stack([self._window(x, p) for p in p0s])
+        wins = np.stack([self._window(x, p) for p, _ in events])
+        fcs = np.array([fc for _, fc in events], dtype=np.float32)
         shift, pos_err, peak, nxt, _ = (
-            np.asarray(v) for v in self._fine_jit(jnp.asarray(wins),
-                                                  jnp.asarray(fcs)))
+            np.asarray(v)
+            for v in self._fine_jit(jnp.asarray(wins), jnp.asarray(fcs)))
+
         out = []
         for i, (p0, fc) in enumerate(events):
             ok = bool(peak[i] > 4.0 * nxt[i]) and \
@@ -188,9 +189,7 @@ class Synchronizer:
     def _window(self, x: np.ndarray, p0: int) -> np.ndarray:
         L = self.L
         lo = p0 + L
-        pad = np.zeros(L, dtype=np.complex64)
-        if 0 <= lo and lo + L <= len(x):
-            return x[lo: lo + L].astype(np.complex64)
+        out = np.zeros((L, 2), dtype=np.float32)
         seg = x[max(lo, 0): max(lo + L, 0)]
-        pad[: len(seg)] = seg
-        return pad
+        out[: len(seg)] = seg
+        return out

@@ -1,0 +1,71 @@
+"""End-to-end loopback: encode -> waveform -> decode, bit-exact payload.
+
+The modem's own ground truth (SURVEY.md §4 check 2, BASELINE config 1):
+byte-identical payload recovery through the full pipeline.  Runs on
+XLA-CPU (conftest); one full-size configuration plus front-end variants.
+"""
+
+import numpy as np
+import pytest
+
+from modem_tpu import bits as B
+from modem_tpu.decoder import Decoder
+from modem_tpu.encoder import Encoder
+from modem_tpu.numerology import make_config
+
+
+@pytest.fixture(scope="module")
+def mode6_wave():
+    cfg = make_config(8000, 6, 2000)
+    enc = Encoder(cfg)
+    rng = np.random.default_rng(99)
+    payload = rng.integers(0, 256, cfg.mode.data_bytes,
+                           dtype=np.uint8).tobytes()
+    wave, papr = enc.encode(payload, B.base37_encode("N0CALL"))
+    sil = np.zeros(cfg.rate, dtype=np.complex64)
+    return cfg, payload, np.concatenate([sil, wave, sil]), papr
+
+
+def test_loopback_analytic_mode6(mode6_wave):
+    cfg, payload, rec, papr = mode6_wave
+    dec = Decoder(8000)
+    res = dec.decode(rec, channels=2)
+    assert res.ok, res.status
+    assert res.payload == payload
+    assert res.oper_mode == 6
+    assert res.call_sign == "N0CALL"
+    assert res.bit_flips == 0
+    # sync must land on the S&C symbol: silence + pilot + guard
+    expect = cfg.rate + cfg.extended_len + cfg.guard_len
+    assert abs(res.symbol_pos - expect) <= 2
+    assert abs(res.cfo_hz - 2000.0) < 1.0
+
+
+def test_loopback_real_mono_mode6(mode6_wave):
+    """Mono path exercises BlockDC + Hilbert (decode.cc:298-299)."""
+    cfg, payload, rec, _ = mode6_wave
+    dec = Decoder(8000)
+    res = dec.decode(rec.real.astype(np.float32), channels=1)
+    assert res.ok, res.status
+    assert res.payload == payload
+
+
+def test_loopback_quantized_16bit(mode6_wave):
+    """Through the WAV codec (16-bit quantization noise)."""
+    from modem_tpu import wav
+    import tempfile, os
+    cfg, payload, rec, _ = mode6_wave
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.wav")
+        wav.write_wav(path, rec, cfg.rate, 16, 2)
+        data = wav.read_wav(path)
+        assert data.rate == cfg.rate and data.channels == 2
+        res = Decoder(8000).decode(data.analytic, channels=2)
+    assert res.ok, res.status
+    assert res.payload == payload
+
+
+def test_papr_reported(mode6_wave):
+    _, _, _, papr = mode6_wave
+    db = 10 * np.log10(papr[papr[:, 0] > 0, 0])
+    assert 3.0 < db.min() < db.max() < 15.0

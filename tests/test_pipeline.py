@@ -1,0 +1,52 @@
+"""Batched pipeline + sharded decode on the toy configuration."""
+
+import jax
+import numpy as np
+import pytest
+
+from modem_tpu import bits as B
+from modem_tpu.parallel import (make_mesh, sharded_decode, toy_config,
+                                toy_pipeline, toy_recordings)
+
+
+@pytest.fixture(scope="module")
+def toy_batch():
+    recs, payloads = toy_recordings(4, seed=3)
+    return recs, payloads
+
+
+def test_toy_batch_pipeline(toy_batch):
+    recs, payloads = toy_batch
+    pipe = toy_pipeline()
+    res = pipe.decode_batch(recs)
+    ok = np.asarray(res["ok"])
+    assert ok.all(), np.asarray(res["sync_gate"])
+    for i, want in enumerate(payloads):
+        assert pipe.payload_bytes(res, i) == want
+    assert np.asarray(res["flips"]).max() == 0
+
+
+def test_toy_sharded_decode(toy_batch):
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    recs, payloads = toy_recordings(8, seed=4)
+    mesh = make_mesh(min(8, len(jax.devices())))
+    pipe = toy_pipeline()
+    n = mesh.devices.size
+    fn = sharded_decode(pipe, mesh)
+    out = fn(recs[:n])
+    bits = np.asarray(out["bits"])
+    assert bits.shape == (n, toy_config().mode.data_bits)
+    assert np.asarray(out["ok"]).all()
+    for i in range(n):
+        got = B.scramble(B.bits_to_bytes_le(bits[i]))
+        assert got == payloads[i]
+
+
+def test_toy_frame_has_wire_structure():
+    cfg = toy_config()
+    assert cfg.symbol_len == 256
+    assert 2 * cfg.mls0_len <= cfg.symbol_len     # preamble fits
+    assert cfg.mls1_len <= cfg.symbol_len
+    assert cfg.mode.cons_bits % (cfg.mode.mod_bits *
+                                 cfg.mode.cons_cols) == 0

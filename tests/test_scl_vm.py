@@ -1,0 +1,73 @@
+"""Device SCL VM vs the numpy reference decoder."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from modem_tpu.fec.polar import PolarCode
+from modem_tpu.fec.scl_np import scl_decode_np
+from modem_tpu.fec.scl_vm import build_schedule, make_decoder
+
+TOY = PolarCode(n=224, k=144, order=8)
+
+
+@pytest.fixture(scope="module")
+def toy_dec():
+    return jax.jit(make_decoder(TOY.frozen, 8))
+
+
+def _tx(rng):
+    m = rng.integers(0, 2, TOY.mesg_bits, dtype=np.uint8)
+    m[TOY.k:] = 0
+    cw = TOY.encode_systematic_np(m)
+    return cw, 1.0 - 2.0 * TOY.shorten_np(cw).astype(np.float64)
+
+
+def test_schedule_covers_tree():
+    sched = build_schedule(TOY.frozen.tobytes())
+    assert sched.n_ops > 0
+    ops = sched.ops
+    # every emitted leaf op fits a single chunk
+    leaf = ops[np.isin(ops[:, 0], (4, 5, 6))]
+    assert (leaf[:, 6] <= 512).all()
+    # last instruction is the root combine
+    assert ops[-1, 0] == 3 and ops[-1, 1] == 0
+
+
+def test_noiseless_exact(toy_dec):
+    rng = np.random.default_rng(0)
+    cw, tx = _tx(rng)
+    llr = TOY.lengthen_np(4.0 * tx).astype(np.float32)
+    cws, pm = toy_dec(jnp.asarray(llr))
+    best = int(np.argmin(np.asarray(pm)))
+    assert np.asarray(pm)[best] == 0.0
+    assert (np.asarray(cws)[best] == cw).all()
+
+
+def test_noisy_matches_numpy_quality(toy_dec):
+    rng = np.random.default_rng(1)
+    cw, tx = _tx(rng)
+    hits_vm = hits_np = 0
+    for _ in range(15):
+        rx = tx + 0.6 * rng.standard_normal(TOY.n)
+        llr = TOY.lengthen_np(2 * rx / 0.36)
+        cws, _ = toy_dec(jnp.asarray(llr.astype(np.float32)))
+        hits_vm += bool((np.asarray(cws) == cw).all(axis=1).any())
+        cnp, _ = scl_decode_np(llr, TOY.frozen, 8)
+        hits_np += bool((cnp == cw).all(axis=1).any())
+    assert hits_vm >= hits_np - 2   # fast-node approximation tolerance
+    assert hits_vm >= 10
+
+
+def test_batched_vmap(toy_dec):
+    rng = np.random.default_rng(2)
+    cw, tx = _tx(rng)
+    batch = np.stack([
+        TOY.lengthen_np(2 * (tx + 0.5 * rng.standard_normal(TOY.n)) / 0.25)
+        for _ in range(4)]).astype(np.float32)
+    dec_b = jax.jit(jax.vmap(make_decoder(TOY.frozen, 8)))
+    cws, pm = dec_b(jnp.asarray(batch))
+    assert np.asarray(cws).shape == (4, 8, 256)
+    hit = (np.asarray(cws) == cw).all(axis=2).any(axis=1)
+    assert hit.sum() >= 3
