@@ -8,16 +8,25 @@ and a naive leaf-sequential scan is 65536 steps of tiny work.  Instead:
   * The tree is pruned host-side into Fast-SSC constituent nodes
     (RATE0 / REP / RATE1 with list forks; Sarkis et al. style) and
     linearised into a STATIC instruction schedule — possible because the
-    frozen mask is a compile-time constant.  ~25k instructions replace
+    frozen mask is a compile-time constant.  ~20k instructions replace
     131k leaf visits.
   * The device executes the schedule as one `lax.scan` whose step is a
-    `lax.switch` over 6 micro-ops (f / g / save / combine / leaf ops),
-    each a fixed-width (C=512) chunk of VPU work over all L list lanes
-    (and a vmapped frame batch).
-  * List forks never copy the multi-megabyte LLR/partial-sum buffers:
-    per-depth lane-indirection vectors (`refs`, `brefs`) are permuted
-    instead (the Tal-Vardy lazy-copy idea, collapsed to O(depth * L)
+    `lax.switch` over 6 micro-ops (f / g / combine / leaf ops), each a
+    fixed-width (C=512) chunk of VPU work over all L list lanes (and a
+    vmapped frame batch).
+  * All large-buffer writes happen UNCONDITIONALLY outside the switch
+    (branches return chunk values + offsets; unused writes land in a
+    scratch column block).  This keeps XLA's while-loop buffer aliasing
+    intact — with writes inside the conditional the scan state (tens of
+    MB) is copied every step and the decoder becomes bandwidth-bound on
+    state copies (measured 137 us/step; ~50x slower).
+  * List forks never copy the LLR/partial-sum buffers: per-depth (and
+    per-beta-slot) lane-indirection vectors (`refs`, `brefs`) are
+    permuted instead (Tal-Vardy lazy copy, collapsed to O(depth * L)
     integers because every buffer write is lane-dense).
+  * Partial sums use per-depth double slots (left/right child), so each
+    node's completion writes straight into its parent's input — no
+    save/copy instruction.
 
 Path metrics are the min-sum LLR formulation (penalty |llr| on sign
 mismatch).  RATE1 nodes fork on the T=4 least-reliable bits per node —
@@ -25,9 +34,8 @@ the standard list-rate-1 approximation.  The decoder outputs the
 re-encoded codeword per path (root partial sums), which makes the
 reference's systematic() step (decode.cc:254-261) a gather.
 
-Buffers are padded per depth to the chunk width so every access is a
-static-size dynamic slice; garbage in the padding is never read
-unmasked.
+Buffers are padded per region to the chunk width so every access is a
+static-size dynamic slice; padding garbage is never read unmasked.
 """
 
 from __future__ import annotations
@@ -42,35 +50,25 @@ import numpy as np
 CHUNK = 512      # static op width (columns)
 T_RATE1 = 4      # fork rounds per RATE1 node
 
-OP_F, OP_G, OP_SAVE, OP_COMBINE, OP_RATE0, OP_REP, OP_RATE1 = range(7)
+OP_F, OP_G, OP_COMBINE, OP_RATE0, OP_REP, OP_RATE1 = range(6)
 
+# operand columns
+(C_OP, C_D, C_SRC, C_SRC2, C_DST, C_BSRC, C_BSRC2, C_BDST, C_SIDR,
+ C_SIDR2, C_SIDW, C_WIDTH, C_LAST) = range(13)
 
-# ---------------------------------------------------------------------------
-# Schedule compiler (host)
-# ---------------------------------------------------------------------------
 
 @dataclasses.dataclass
 class Schedule:
-    ops: np.ndarray        # [n, 8] int32: op, d, src, src2, dst, boff, width, last
-    lofs: np.ndarray       # [depths] llr region column offsets
-    bofs: np.ndarray       # [depths] beta region column offsets
+    ops: np.ndarray        # [n, 13] int32
     sz_llr: int
     sz_beta: int
     n_depths: int
     code_len: int
+    out_off: int           # column offset of the root codeword (slot A_0)
 
     @property
     def n_ops(self) -> int:
         return len(self.ops)
-
-
-def _region_offsets(n: int, depths: int):
-    offs = []
-    pos = 0
-    for d in range(depths):
-        offs.append(pos)
-        pos += max(n >> d, CHUNK)
-    return np.array(offs, dtype=np.int32), pos
 
 
 @functools.lru_cache(maxsize=None)
@@ -78,86 +76,106 @@ def build_schedule(frozen_key) -> Schedule:
     """frozen_key: bytes of the frozen mask (hashable)."""
     frozen = np.frombuffer(frozen_key, dtype=np.uint8)
     n = len(frozen)
-    depths = n.bit_length()          # 0..M
-    lofs, sz_llr = _region_offsets(n, depths)
-    bofs, sz_beta = _region_offsets(n, depths)
+    depths = n.bit_length()
+
+    # llr region per depth
+    lofs = []
+    pos = 0
+    for d in range(depths):
+        lofs.append(pos)
+        pos += max(n >> d, CHUNK)
+    sz_llr = pos
+    # beta slots: per depth, A (left child result) and B (right child)
+    bslot = np.zeros((depths, 2), dtype=np.int64)
+    pos = 0
+    for d in range(depths):
+        alloc = max(n >> d, CHUNK)
+        bslot[d, 0] = pos
+        bslot[d, 1] = pos + alloc
+        pos += 2 * alloc
+    sz_beta = pos
+
     ops: list[tuple] = []
 
-    def emit_chunks(op, d, w, src, src2, dst, boff):
-        """Emit ceil(w/CHUNK) instructions covering w columns."""
+    def sid(d, side):
+        return 2 * d + side
+
+    def emit(op, d, w, side, **kw):
+        """Emit chunked instructions for an op covering w columns."""
         nchunks = max(1, -(-w // CHUNK))
         for j in range(nchunks):
             off = j * CHUNK
             width = min(CHUNK, w - off)
-            ops.append((op, d, src + off, src2 + off, dst + off,
-                        boff + off, width, int(j == nchunks - 1)))
+            row = [0] * 13
+            row[C_OP] = op
+            row[C_D] = d
+            row[C_WIDTH] = width
+            row[C_LAST] = int(j == nchunks - 1)
+            for key, val in kw.items():
+                idx = {"src": C_SRC, "src2": C_SRC2, "dst": C_DST,
+                       "bsrc": C_BSRC, "bsrc2": C_BSRC2, "bdst": C_BDST,
+                       "sidr": C_SIDR, "sidr2": C_SIDR2,
+                       "sidw": C_SIDW}[key]
+                # offsets advance with the chunk; slot ids do not
+                row[idx] = val + (off if key not in ("sidr", "sidr2",
+                                                     "sidw") else 0)
+            ops.append(tuple(row))
 
-    def walk(lo, hi, d):
+    def walk(lo, hi, d, side):
         w = hi - lo
         fz = frozen[lo:hi]
         s = int(fz.sum())
+        own = bslot[d, side]
         if w <= CHUNK:
             if s == w:
-                ops.append((OP_RATE0, d, lofs[d], 0, 0, bofs[d], w, 1))
+                emit(OP_RATE0, d, w, side, src=lofs[d], bdst=own,
+                     sidw=sid(d, side))
                 return
             if s == 0:
-                ops.append((OP_RATE1, d, lofs[d], 0, 0, bofs[d], w, 1))
+                emit(OP_RATE1, d, w, side, src=lofs[d], bdst=own,
+                     sidw=sid(d, side))
                 return
             if s == w - 1 and fz[-1] == 0:
-                ops.append((OP_REP, d, lofs[d], 0, 0, bofs[d], w, 1))
+                emit(OP_REP, d, w, side, src=lofs[d], bdst=own,
+                     sidw=sid(d, side))
                 return
         h = w // 2
-        # f: children LLRs from parent's two half-chunks
-        emit_chunks(OP_F, d, h, lofs[d], lofs[d] + h, lofs[d + 1], 0)
-        walk(lo, lo + h, d + 1)
-        # save left child's beta into parent's region (left half)
-        emit_chunks(OP_SAVE, d, h, bofs[d + 1], 0, bofs[d], 0)
-        # g: right child LLRs use the saved left beta
-        emit_chunks(OP_G, d, h, lofs[d], lofs[d] + h, lofs[d + 1],
-                    bofs[d])
-        walk(lo + h, hi, d + 1)
-        # combine: parent beta = [bl*br, br]
-        emit_chunks(OP_COMBINE, d, h, bofs[d + 1], 0, bofs[d] + h,
-                    bofs[d])
+        emit(OP_F, d, h, side, src=lofs[d], src2=lofs[d] + h,
+             dst=lofs[d + 1])
+        walk(lo, lo + h, d + 1, 0)
+        emit(OP_G, d, h, side, src=lofs[d], src2=lofs[d] + h,
+             dst=lofs[d + 1], bsrc=bslot[d + 1, 0], sidr=sid(d + 1, 0))
+        walk(lo + h, hi, d + 1, 1)
+        # combine: own slot <- [bl * br | br] from children slots
+        emit(OP_COMBINE, d, h, side, bsrc=bslot[d + 1, 0],
+             bsrc2=bslot[d + 1, 1], bdst=own, dst=own + h,
+             sidr=sid(d + 1, 0), sidr2=sid(d + 1, 1),
+             sidw=sid(d, side))
 
-    walk(0, n, 0)
-    return Schedule(ops=np.array(ops, dtype=np.int32), lofs=lofs,
-                    bofs=bofs, sz_llr=sz_llr, sz_beta=sz_beta,
-                    n_depths=depths, code_len=n)
+    walk(0, n, 0, 0)
+    return Schedule(ops=np.array(ops, dtype=np.int32), sz_llr=sz_llr,
+                    sz_beta=sz_beta, n_depths=depths, code_len=n,
+                    out_off=int(bslot[0, 0]))
 
 
 # ---------------------------------------------------------------------------
 # Device VM
 # ---------------------------------------------------------------------------
 
-def _gather_cols(buf, lanes, off):
-    """[L, SZ] buffer -> [L, CHUNK] chunk at `off`, rows re-indexed."""
+def _gather(buf, lanes, off):
+    """[L, SZ] buffer -> [L, CHUNK] chunk at `off`, lanes re-indexed."""
     sl = jax.lax.dynamic_slice(buf, (0, off), (buf.shape[0], CHUNK))
     return jnp.take(sl, lanes, axis=0)
 
 
-def _write_cols(buf, off, vals):
-    return jax.lax.dynamic_update_slice(buf, vals, (0, off))
-
-
-def _maybe_reset(refs, d, last):
-    """Set refs[d] = identity when `last` is 1."""
+def _reset_row(refs, idx, last):
     ident = jnp.arange(refs.shape[1], dtype=refs.dtype)
-    row = jnp.where(last > 0, ident, refs[d])
-    return jax.lax.dynamic_update_slice(refs, row[None, :], (d, 0))
-
-
-def _permute_all(state, perm):
-    llr, beta, refs, brefs, pm = state
-    return (llr, beta, refs[:, perm], brefs[:, perm], pm)
-
-
-def _mask(width):
-    return (jnp.arange(CHUNK) < width).astype(jnp.float32)
+    row = jnp.where(last > 0, ident, refs[idx])
+    return jax.lax.dynamic_update_slice(refs, row[None, :], (idx, 0))
 
 
 def _select_paths(pm_cand, L):
-    """2L candidate metrics -> (perm [L], chosen flag [L], new pm)."""
+    """2L candidate metrics -> (perm [L], flip flag [L], new pm [L])."""
     neg, order = jax.lax.top_k(-pm_cand, L)
     return order % L, order >= L, -neg
 
@@ -165,94 +183,88 @@ def _select_paths(pm_cand, L):
 def make_decoder(frozen: np.ndarray, list_size: int = 8):
     """Compile an SCL decoder for one frozen mask.
 
-    Returns a jitted function llrs [code_len] -> (codewords [L, code_len]
-    in 0/1 bits, path metrics [L]); vmap over a leading batch axis as
-    needed.
+    Returns a function llrs [code_len] -> (codewords [L, code_len] 0/1,
+    path metrics [L]); jit/vmap as needed.
     """
     sched = build_schedule(np.asarray(frozen, dtype=np.uint8).tobytes())
     L = list_size
     n = sched.code_len
     big = jnp.float32(3.0e38)
+    # scratch blocks absorb the unused unconditional writes
+    llr_scratch = np.int32(sched.sz_llr)
+    beta_scratch = np.int32(sched.sz_beta)
 
     def step(state, row):
-        op, d, src, src2, dst, boff, width, last = (row[i] for i in
-                                                    range(8))
         llr, beta, refs, brefs, pm = state
+        d = row[C_D]
 
-        def get_llr(off):
-            return _gather_cols(llr, refs[d], off)
+        def rd_llr(off):
+            return _gather(llr, refs[d], off)
 
-        def get_beta(dd, off):
-            return _gather_cols(beta, brefs[dd], off)
+        def rd_beta(sid, off):
+            return _gather(beta, brefs[sid], off)
 
-        def op_f(state):
-            llr, beta, refs, brefs, pm = state
-            a, b = get_llr(src), get_llr(src2)
+        zero_chunk = jnp.zeros((L, CHUNK), jnp.float32)
+
+        # Each branch returns:
+        #   (llr_val, llr_off, bval1, boff1, bval2, boff2, refs, brefs, pm)
+        def op_f(_):
+            a, b = rd_llr(row[C_SRC]), rd_llr(row[C_SRC2])
             out = jnp.sign(a) * jnp.sign(b) * jnp.minimum(jnp.abs(a),
                                                           jnp.abs(b))
-            return (_write_cols(llr, dst, out), beta,
-                    _maybe_reset(refs, d + 1, last), brefs, pm)
+            return (out, row[C_DST], zero_chunk, beta_scratch,
+                    zero_chunk, beta_scratch,
+                    _reset_row(refs, d + 1, row[C_LAST]), brefs, pm)
 
-        def op_g(state):
-            llr, beta, refs, brefs, pm = state
-            a, b = get_llr(src), get_llr(src2)
-            bl = get_beta(d, boff)
-            out = b + bl * a
-            return (_write_cols(llr, dst, out), beta,
-                    _maybe_reset(refs, d + 1, last), brefs, pm)
+        def op_g(_):
+            a, b = rd_llr(row[C_SRC]), rd_llr(row[C_SRC2])
+            bl = rd_beta(row[C_SIDR], row[C_BSRC])
+            return (b + bl * a, row[C_DST], zero_chunk, beta_scratch,
+                    zero_chunk, beta_scratch,
+                    _reset_row(refs, d + 1, row[C_LAST]), brefs, pm)
 
-        def op_save(state):
-            llr, beta, refs, brefs, pm = state
-            v = get_beta(d + 1, src)
-            return (llr, _write_cols(beta, dst, v), refs,
-                    _maybe_reset(brefs, d, last), pm)
+        def op_combine(_):
+            bl = rd_beta(row[C_SIDR], row[C_BSRC])
+            br = rd_beta(row[C_SIDR2], row[C_BSRC2])
+            return (zero_chunk, llr_scratch, bl * br, row[C_BDST],
+                    br, row[C_DST], refs,
+                    _reset_row(brefs, row[C_SIDW], row[C_LAST]), pm)
 
-        def op_combine(state):
-            llr, beta, refs, brefs, pm = state
-            br = get_beta(d + 1, src)
-            bl = get_beta(d, boff)
-            beta = _write_cols(beta, boff, bl * br)
-            beta = _write_cols(beta, dst, br)
-            return (llr, beta, refs, _maybe_reset(brefs, d, last), pm)
+        def op_rate0(_):
+            a = rd_llr(row[C_SRC])
+            m = (jnp.arange(CHUNK) < row[C_WIDTH]).astype(jnp.float32)
+            pm2 = pm + jnp.sum(jnp.maximum(-a, 0.0) * m, axis=-1)
+            return (zero_chunk, llr_scratch,
+                    jnp.ones((L, CHUNK), jnp.float32), row[C_BDST],
+                    zero_chunk, beta_scratch, refs,
+                    _reset_row(brefs, row[C_SIDW], row[C_LAST]), pm2)
 
-        def op_rate0(state):
-            llr, beta, refs, brefs, pm = state
-            a = get_llr(src)
-            pm = pm + jnp.sum(jnp.maximum(-a, 0.0) * _mask(width),
-                              axis=-1)
-            beta = _write_cols(beta, boff, jnp.ones((L, CHUNK),
-                                                    jnp.float32))
-            return (llr, beta, refs, _maybe_reset(brefs, d, last), pm)
-
-        def op_rep(state):
-            llr, beta, refs, brefs, pm = state
-            a = get_llr(src)
-            m = _mask(width)
+        def op_rep(_):
+            a = rd_llr(row[C_SRC])
+            m = (jnp.arange(CHUNK) < row[C_WIDTH]).astype(jnp.float32)
             m0 = jnp.sum(jnp.maximum(-a, 0.0) * m, axis=-1)
             m1 = jnp.sum(jnp.maximum(a, 0.0) * m, axis=-1)
-            perm, flip, pm = _select_paths(
+            perm, flip, pm2 = _select_paths(
                 jnp.concatenate([pm + m0, pm + m1]), L)
-            sign = jnp.where(flip, -1.0, 1.0)
-            beta = _write_cols(beta, boff,
-                               jnp.broadcast_to(sign[:, None],
-                                                (L, CHUNK)).astype(
-                                                    jnp.float32))
-            llr, beta, refs, brefs, _ = _permute_all(
-                (llr, beta, refs, brefs, pm), perm)
-            return (llr, beta, refs, _maybe_reset(brefs, d, last), pm)
+            sign = jnp.where(flip, -1.0, 1.0).astype(jnp.float32)
+            bval = jnp.broadcast_to(sign[:, None], (L, CHUNK))
+            return (zero_chunk, llr_scratch, bval, row[C_BDST],
+                    zero_chunk, beta_scratch, refs[:, perm],
+                    _reset_row(brefs[:, perm], row[C_SIDW],
+                               row[C_LAST]), pm2)
 
-        def op_rate1(state):
-            llr, beta, refs, brefs, pm = state
-            a = get_llr(src)
-            m = _mask(width)
-            mag = jnp.where(m > 0, jnp.abs(a), big)
-            b_local = jnp.where(a < 0, -1.0, 1.0) * m  # pad -> 0, fine
+        def op_rate1(_):
+            a = rd_llr(row[C_SRC])
+            valid = jnp.arange(CHUNK) < row[C_WIDTH]
+            mag = jnp.where(valid[None, :], jnp.abs(a), big)
+            b_local = jnp.where(a < 0, -1.0, 1.0) * valid[None, :]
             vals, idxs = jax.lax.top_k(-mag, T_RATE1)
-            vals = -vals                                # T smallest |llr|
+            vals = -vals
             gperm = jnp.arange(L)
+            pm2 = pm
             for r in range(T_RATE1):
-                perm, flip, pm = _select_paths(
-                    jnp.concatenate([pm, pm + vals[:, r]]), L)
+                perm, flip, pm2 = _select_paths(
+                    jnp.concatenate([pm2, pm2 + vals[:, r]]), L)
                 b_local = jnp.take(b_local, perm, axis=0)
                 vals = jnp.take(vals, perm, axis=0)
                 idxs = jnp.take(idxs, perm, axis=0)
@@ -260,33 +272,40 @@ def make_decoder(frozen: np.ndarray, list_size: int = 8):
                 onehot = (jnp.arange(CHUNK)[None, :] ==
                           idxs[:, r][:, None]) & flip[:, None]
                 b_local = jnp.where(onehot, -b_local, b_local)
-            beta = _write_cols(beta, boff, b_local)
-            llr, beta, refs, brefs, _ = _permute_all(
-                (llr, beta, refs, brefs, pm), gperm)
-            return (llr, beta, refs, _maybe_reset(brefs, d, last), pm)
+            return (zero_chunk, llr_scratch, b_local, row[C_BDST],
+                    zero_chunk, beta_scratch, refs[:, gperm],
+                    _reset_row(brefs[:, gperm], row[C_SIDW],
+                               row[C_LAST]), pm2)
 
-        new_state = jax.lax.switch(
-            op, [op_f, op_g, op_save, op_combine, op_rate0, op_rep,
-                 op_rate1], state)
-        return new_state, None
+        (lval, loff, bval1, boff1, bval2, boff2, refs2, brefs2,
+         pm2) = jax.lax.switch(
+            row[C_OP], [op_f, op_g, op_combine, op_rate0, op_rep,
+                        op_rate1], None)
+
+        # Unconditional big-buffer writes (aliasing-friendly).
+        llr = jax.lax.dynamic_update_slice(llr, lval, (0, loff))
+        beta = jax.lax.dynamic_update_slice(beta, bval1, (0, boff1))
+        beta = jax.lax.dynamic_update_slice(beta, bval2, (0, boff2))
+        return (llr, beta, refs2, brefs2, pm2), None
 
     ops_arr = jnp.asarray(sched.ops)
 
     def decode(llrs):
-        llr0 = jnp.zeros((L, sched.sz_llr), jnp.float32)
+        llr0 = jnp.zeros((L, sched.sz_llr + CHUNK), jnp.float32)
         llr0 = llr0.at[:, :n].set(jnp.broadcast_to(llrs, (L, n)))
         # Derive every state leaf from the input so all lax.switch
         # branches agree on device-variance under shard_map.
         vzero = llrs[0] * 0.0
-        beta0 = jnp.zeros((L, sched.sz_beta), jnp.float32) + vzero
-        ident = (jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32),
-                                  (sched.n_depths, L))
-                 + vzero.astype(jnp.int32))
+        beta0 = jnp.zeros((L, sched.sz_beta + CHUNK), jnp.float32) + vzero
+        ident = jnp.arange(L, dtype=jnp.int32) + vzero.astype(jnp.int32)
+        refs0 = jnp.broadcast_to(ident, (sched.n_depths, L))
+        brefs0 = jnp.broadcast_to(ident, (2 * sched.n_depths, L))
         pm0 = jnp.full((L,), 0.0).at[1:].set(big / 2) + vzero
-        state = (llr0, beta0, ident, ident, pm0)
+        state = (llr0, beta0, refs0, brefs0, pm0)
         (llr, beta, refs, brefs, pm), _ = jax.lax.scan(step, state,
                                                        ops_arr)
-        codeword = (beta[:, :n] < 0).astype(jnp.uint8)
+        out = jax.lax.dynamic_slice(beta, (0, sched.out_off), (L, n))
+        codeword = (out < 0).astype(jnp.uint8)
         return codeword, pm
 
     return decode

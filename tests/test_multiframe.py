@@ -1,0 +1,39 @@
+"""Multi-frame encode + SKIP-selected decode (decode.cc:448,583-585).
+
+Multiple input blocks emit back-to-back frames (encode.cc:289); the
+decoder's SKIP argument selects which frame to decode.
+"""
+
+import numpy as np
+import pytest
+
+from modem_tpu import bits as B
+from modem_tpu.decoder import Decoder
+from modem_tpu.encoder import Encoder
+from modem_tpu.numerology import make_config
+
+
+@pytest.fixture(scope="module")
+def two_frames():
+    cfg = make_config(8000, 6, 2000)
+    enc = Encoder(cfg)
+    rng = np.random.default_rng(5)
+    payloads = [rng.integers(0, 256, cfg.mode.data_bytes,
+                             dtype=np.uint8).tobytes() for _ in range(2)]
+    wave, _ = enc.encode(payloads, B.base37_encode("N0CALL"))
+    sil = np.zeros(cfg.rate, dtype=np.complex64)
+    rec = np.concatenate([sil, wave, sil])
+    # two frames -> recording long enough for both
+    assert len(wave) == (1 + 2 * cfg.frame_symbols + 1) * cfg.extended_len
+    return cfg, payloads, rec
+
+
+def test_skip_selects_frame(two_frames):
+    cfg, payloads, rec = two_frames
+    dec = Decoder(8000)
+    r0 = dec.decode(rec, channels=2, skip=0)
+    assert r0.ok and r0.payload == payloads[0]
+    r1 = dec.decode(rec, channels=2, skip=1)
+    assert r1.ok and r1.payload == payloads[1]
+    # the second frame's preamble sits one frame later
+    assert (r1.symbol_pos - r0.symbol_pos) == cfg.frame_samples

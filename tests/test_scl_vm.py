@@ -28,11 +28,13 @@ def test_schedule_covers_tree():
     sched = build_schedule(TOY.frozen.tobytes())
     assert sched.n_ops > 0
     ops = sched.ops
+    from modem_tpu.fec.scl_vm import (C_WIDTH, OP_COMBINE, OP_RATE0,
+                                      OP_RATE1, OP_REP)
     # every emitted leaf op fits a single chunk
-    leaf = ops[np.isin(ops[:, 0], (4, 5, 6))]
-    assert (leaf[:, 6] <= 512).all()
+    leaf = ops[np.isin(ops[:, 0], (OP_RATE0, OP_REP, OP_RATE1))]
+    assert (leaf[:, C_WIDTH] <= 512).all()
     # last instruction is the root combine
-    assert ops[-1, 0] == 3 and ops[-1, 1] == 0
+    assert ops[-1, 0] == OP_COMBINE and ops[-1, 1] == 0
 
 
 def test_noiseless_exact(toy_dec):
