@@ -122,16 +122,36 @@ def cmd_decode(argv: list[str]) -> int:
     return 0
 
 
+def cmd_freezer(argv: list[str]) -> int:
+    """Regenerate the polar frozen-bit tables (freezer.cc:34-39)."""
+    import math
+
+    from .fec.freezer import frozen_mask, mask_to_words
+    for n, k in ((64512, 43072), (64800, 43072)):
+        erasure = (n - k) / n
+        design = 10 * math.log10(-math.log(erasure))
+        print(f"design SNR: {design}", file=sys.stderr)
+        print(f"better SNR: {design + 1.59175}", file=sys.stderr)
+        words = mask_to_words(frozen_mask(n, k, 16))
+        body = ", ".join(f"0x{w:x}" for w in words)
+        print(f"static const uint32_t frozen_{n}_{k}[{len(words)}] = "
+              f"{{ {body}, }};")
+    return 0
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if not argv:
-        print("usage: modem_tpu.cli {encode|decode} ...", file=sys.stderr)
+        print("usage: modem_tpu.cli {encode|decode|freezer} ...",
+              file=sys.stderr)
         return 1
     cmd, rest = argv[0], argv[1:]
     if cmd == "encode":
         return cmd_encode(rest)
     if cmd == "decode":
         return cmd_decode(rest)
+    if cmd == "freezer":
+        return cmd_freezer(rest)
     print(f"unknown command {cmd}", file=sys.stderr)
     return 1
 

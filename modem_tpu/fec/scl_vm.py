@@ -180,6 +180,159 @@ def _select_paths(pm_cand, L):
     return order % L, order >= L, -neg
 
 
+def make_batch_decoder(frozen: np.ndarray, batch: int,
+                       list_size: int = 8):
+    """Batched SCL decoder with a TPU-friendly buffer layout.
+
+    State lives as [SZ, batch*list] so every chunk access is a
+    major-axis dynamic slice and the minor (lane) dimension is fully
+    populated (batch*list = 128 with the default batch=16, L=8) — the
+    vmapped single-frame decoder instead puts the multi-hundred-KB
+    buffer axis minor, which makes each scan step a cross-lane shuffle.
+    Fork bookkeeping uses flat lane indices (b*L + l).
+
+    Returns fn: llrs [batch, code_len] -> (codewords [batch, L,
+    code_len] 0/1, path metrics [batch, L]).
+    """
+    sched = build_schedule(np.asarray(frozen, dtype=np.uint8).tobytes())
+    L = list_size
+    B = batch
+    W = B * L
+    n = sched.code_len
+    big = jnp.float32(3.0e38)
+    llr_scratch = np.int32(sched.sz_llr)
+    beta_scratch = np.int32(sched.sz_beta)
+    lane_b = np.repeat(np.arange(B, dtype=np.int32), L) * L  # flat base
+
+    def select(pm, extra):
+        """pm, extra: [W] keep/flip metrics -> (perm_flat, flip, pm')."""
+        cand = jnp.concatenate(
+            [pm.reshape(B, L), (pm + extra).reshape(B, L)], axis=1)
+        neg, order = jax.lax.top_k(-cand, L)       # [B, L]
+        perm_flat = (order % L + jnp.asarray(lane_b).reshape(B, L)
+                     ).reshape(W)
+        flip = (order >= L).reshape(W)
+        return perm_flat, flip, -neg.reshape(W)
+
+    def step(state, row):
+        llr, beta, refs, brefs, pm = state
+        d = row[C_D]
+
+        def rd_llr(off):
+            sl = jax.lax.dynamic_slice(llr, (off, 0), (CHUNK, W))
+            return jnp.take(sl, refs[d], axis=1)
+
+        def rd_beta(sid, off):
+            sl = jax.lax.dynamic_slice(beta, (off, 0), (CHUNK, W))
+            return jnp.take(sl, brefs[sid], axis=1)
+
+        zero_chunk = jnp.zeros((CHUNK, W), jnp.float32)
+
+        def op_f(_):
+            a, b = rd_llr(row[C_SRC]), rd_llr(row[C_SRC2])
+            out = jnp.sign(a) * jnp.sign(b) * jnp.minimum(jnp.abs(a),
+                                                          jnp.abs(b))
+            return (out, row[C_DST], zero_chunk, beta_scratch,
+                    zero_chunk, beta_scratch,
+                    _reset_row(refs, d + 1, row[C_LAST]), brefs, pm)
+
+        def op_g(_):
+            a, b = rd_llr(row[C_SRC]), rd_llr(row[C_SRC2])
+            bl = rd_beta(row[C_SIDR], row[C_BSRC])
+            return (b + bl * a, row[C_DST], zero_chunk, beta_scratch,
+                    zero_chunk, beta_scratch,
+                    _reset_row(refs, d + 1, row[C_LAST]), brefs, pm)
+
+        def op_combine(_):
+            bl = rd_beta(row[C_SIDR], row[C_BSRC])
+            br = rd_beta(row[C_SIDR2], row[C_BSRC2])
+            return (zero_chunk, llr_scratch, bl * br, row[C_BDST],
+                    br, row[C_DST], refs,
+                    _reset_row(brefs, row[C_SIDW], row[C_LAST]), pm)
+
+        def op_rate0(_):
+            a = rd_llr(row[C_SRC])
+            m = (jnp.arange(CHUNK) < row[C_WIDTH]).astype(
+                jnp.float32)[:, None]
+            pm2 = pm + jnp.sum(jnp.maximum(-a, 0.0) * m, axis=0)
+            return (zero_chunk, llr_scratch,
+                    jnp.ones((CHUNK, W), jnp.float32), row[C_BDST],
+                    zero_chunk, beta_scratch, refs,
+                    _reset_row(brefs, row[C_SIDW], row[C_LAST]), pm2)
+
+        def op_rep(_):
+            a = rd_llr(row[C_SRC])
+            m = (jnp.arange(CHUNK) < row[C_WIDTH]).astype(
+                jnp.float32)[:, None]
+            m0 = jnp.sum(jnp.maximum(-a, 0.0) * m, axis=0)
+            m1 = jnp.sum(jnp.maximum(a, 0.0) * m, axis=0)
+            perm, flip, pm2 = select(pm + m0, m1 - m0)
+            sign = jnp.where(flip, -1.0, 1.0).astype(jnp.float32)
+            bval = jnp.broadcast_to(sign[None, :], (CHUNK, W))
+            return (zero_chunk, llr_scratch, bval, row[C_BDST],
+                    zero_chunk, beta_scratch,
+                    jnp.take(refs, perm, axis=1),
+                    _reset_row(jnp.take(brefs, perm, axis=1),
+                               row[C_SIDW], row[C_LAST]), pm2)
+
+        def op_rate1(_):
+            a = rd_llr(row[C_SRC])
+            valid = (jnp.arange(CHUNK) < row[C_WIDTH])[:, None]
+            mag = jnp.where(valid, jnp.abs(a), big)
+            b_local = jnp.where(a < 0, -1.0, 1.0) * valid
+            vals, idxs = jax.lax.top_k(-mag.T, T_RATE1)   # [W, T]
+            vals = -vals
+            gperm = jnp.arange(W)
+            pm2 = pm
+            for r in range(T_RATE1):
+                perm, flip, pm2 = select(pm2, vals[:, r])
+                b_local = jnp.take(b_local, perm, axis=1)
+                vals = jnp.take(vals, perm, axis=0)
+                idxs = jnp.take(idxs, perm, axis=0)
+                gperm = jnp.take(gperm, perm)
+                onehot = ((jnp.arange(CHUNK)[:, None] ==
+                           idxs[:, r][None, :]) & flip[None, :])
+                b_local = jnp.where(onehot, -b_local, b_local)
+            return (zero_chunk, llr_scratch, b_local, row[C_BDST],
+                    zero_chunk, beta_scratch,
+                    jnp.take(refs, gperm, axis=1),
+                    _reset_row(jnp.take(brefs, gperm, axis=1),
+                               row[C_SIDW], row[C_LAST]), pm2)
+
+        (lval, loff, bval1, boff1, bval2, boff2, refs2, brefs2,
+         pm2) = jax.lax.switch(
+            row[C_OP], [op_f, op_g, op_combine, op_rate0, op_rep,
+                        op_rate1], None)
+        llr = jax.lax.dynamic_update_slice(llr, lval, (loff, 0))
+        beta = jax.lax.dynamic_update_slice(beta, bval1, (boff1, 0))
+        beta = jax.lax.dynamic_update_slice(beta, bval2, (boff2, 0))
+        return (llr, beta, refs2, brefs2, pm2), None
+
+    ops_arr = jnp.asarray(sched.ops)
+
+    def decode(llrs):
+        llr0 = jnp.zeros((sched.sz_llr + CHUNK, W), jnp.float32)
+        # region 0 = channel LLRs: [N, B] broadcast over the L lanes
+        chan = jnp.repeat(llrs.T, L, axis=1)       # [N, W]
+        llr0 = llr0.at[:n, :].set(chan)
+        vzero = llrs[0, 0] * 0.0
+        beta0 = jnp.zeros((sched.sz_beta + CHUNK, W), jnp.float32) + vzero
+        ident = jnp.arange(W, dtype=jnp.int32) + vzero.astype(jnp.int32)
+        refs0 = jnp.broadcast_to(ident, (sched.n_depths, W))
+        brefs0 = jnp.broadcast_to(ident, (2 * sched.n_depths, W))
+        # lane l=0 of each frame starts live, clones die immediately
+        pm0 = jnp.where(jnp.arange(W) % L == 0, 0.0, big / 2) + vzero
+        state = (llr0, beta0, refs0, brefs0, pm0)
+        (llr, beta, refs, brefs, pm), _ = jax.lax.scan(step, state,
+                                                       ops_arr)
+        out = jax.lax.dynamic_slice(beta, (sched.out_off, 0), (n, W))
+        codeword = (out < 0).astype(jnp.uint8)      # [N, W]
+        codeword = codeword.T.reshape(B, L, n)
+        return codeword, pm.reshape(B, L)
+
+    return decode
+
+
 def make_decoder(frozen: np.ndarray, list_size: int = 8):
     """Compile an SCL decoder for one frozen mask.
 

@@ -25,7 +25,7 @@ import numpy as np
 from . import bits as B
 from . import cplx, fft, ofdm, sync, track
 from .fec.polar import PolarCode
-from .fec.scl_vm import make_decoder
+from .fec.scl_vm import make_batch_decoder, make_decoder
 from .numerology import MODES, ModemConfig
 
 
@@ -46,6 +46,40 @@ class BatchPipeline:
             B.crc32.check_matrix(mode.crc_bits), dtype=np.float32)
         self.list_size = list_size
         self._decode_batch = jax.jit(jax.vmap(self._decode_one))
+        self._batched_cache: dict[int, object] = {}
+
+    def _batched_fn(self, batch: int):
+        """Whole-batch decode with the flat-lane SCL VM (fast path)."""
+        if batch in self._batched_cache:
+            return self._batched_cache[batch]
+        scl = make_batch_decoder(self.code.frozen, batch, self.list_size)
+        mode = self.cfg.mode
+
+        def run(recs):
+            front = jax.vmap(self._demod_one)(recs)
+            codewords, pm = scl(front["llrs"])     # [B, L, code_len]
+            info = codewords[
+                ..., jnp.asarray(self.code.info_idx[: mode.crc_bits])]
+            rem = jnp.mod(jnp.dot(info.astype(jnp.float32),
+                                  jnp.asarray(self.crc_mat),
+                                  preferred_element_type=jnp.float32),
+                          2.0)
+            crc_ok = jnp.sum(rem, axis=-1) == 0    # [B, L]
+            pm_sel = jnp.where(crc_ok, pm, jnp.inf)
+            best = jnp.argmin(pm_sel, axis=-1)     # [B]
+            bits = jnp.take_along_axis(
+                info, best[:, None, None], axis=1)[:, 0, : mode.data_bits]
+            received = front["llrs"][
+                :, jnp.asarray(self.code.info_idx[: mode.data_bits])] < 0
+            flips = jnp.sum(received != bits.astype(bool), axis=-1)
+            return dict(ok=jnp.any(crc_ok, axis=-1),
+                        bits=bits.astype(jnp.uint8), p0=front["p0"],
+                        cfo_rad=front["cfo_rad"], snr=front["snr"],
+                        flips=flips, sync_gate=front["sync_gate"])
+
+        fn = jax.jit(run)
+        self._batched_cache[batch] = fn
+        return fn
 
     # -- single recording, fully traced ------------------------------------
     def _sync_argmax(self, x):
@@ -57,8 +91,8 @@ class BatchPipeline:
         fc = phase[jnp.maximum(n_max - s.match_del, 0)] / s.L
         return p0, fc
 
-    def _decode_one(self, x):
-        """x: [T, 2] analytic recording -> dict of results."""
+    def _demod_one(self, x):
+        """x: [T, 2] analytic recording -> channel LLRs + metrics."""
         cfg = self.cfg
         mode = cfg.mode
         s, g = cfg.symbol_len, cfg.guard_len
@@ -90,6 +124,15 @@ class BatchPipeline:
                                                 mode.mod_bits)
         llrs, snr = track.soft_llrs(cons, mode.mod_bits)
         full = self.code.lengthen(llrs.reshape(-1))
+        return dict(llrs=full, p0=p0, cfo_rad=cfo, snr=snr,
+                    sync_gate=(peak > 4.0 * nxt))
+
+    def _decode_one(self, x):
+        """x: [T, 2] analytic recording -> dict of results."""
+        mode = self.cfg.mode
+        front = self._demod_one(x)
+        full = front["llrs"]
+        p0, cfo, snr = front["p0"], front["cfo_rad"], front["snr"]
 
         codewords, pm = self.scl(full)                # [L, code_len]
         info = codewords[:, jnp.asarray(self.code.info_idx[: mode.crc_bits])]
@@ -107,14 +150,21 @@ class BatchPipeline:
         flips = jnp.sum(received != payload_bits.astype(bool))
         return dict(ok=jnp.any(crc_ok), bits=payload_bits.astype(jnp.uint8),
                     p0=p0, cfo_rad=cfo, snr=snr, flips=flips,
-                    sync_gate=(peak > 4.0 * nxt))
+                    sync_gate=front["sync_gate"])
 
     # -- public ------------------------------------------------------------
-    def decode_batch(self, recordings):
-        """recordings: [B, T] complex np or [B, T, 2] -> result dict."""
+    def decode_batch(self, recordings, flat_lane: bool = True):
+        """recordings: [B, T] complex np or [B, T, 2] -> result dict.
+
+        flat_lane=True uses the [SZ, batch*list] SCL layout (fast path);
+        False falls back to the vmapped single-frame decoder.
+        """
         if np.iscomplexobj(recordings):
             recordings = cplx.from_np(recordings)
-        return self._decode_batch(jnp.asarray(recordings))
+        recordings = jnp.asarray(recordings)
+        if flat_lane:
+            return self._batched_fn(recordings.shape[0])(recordings)
+        return self._decode_batch(recordings)
 
     def payload_bytes(self, result, i: int) -> bytes:
         bits = np.asarray(result["bits"][i])

@@ -65,6 +65,21 @@ def test_loopback_quantized_16bit(mode6_wave):
     assert res.payload == payload
 
 
+def test_loopback_8bit_wav(mode6_wave):
+    """8-bit PCM round trip (encode.cc BITS=8 support)."""
+    from modem_tpu import wav
+    import tempfile, os
+    cfg, payload, rec, _ = mode6_wave
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t8.wav")
+        wav.write_wav(path, rec, cfg.rate, 8, 2)
+        data = wav.read_wav(path)
+        assert data.bits == 8
+        res = Decoder(8000).decode(data.analytic, channels=2)
+    assert res.ok, res.status
+    assert res.payload == payload
+
+
 def test_papr_reported(mode6_wave):
     _, _, _, papr = mode6_wave
     db = 10 * np.log10(papr[papr[:, 0] > 0, 0])
