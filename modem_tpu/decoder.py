@@ -60,11 +60,17 @@ def _rx_config(rate: int, oper_mode: int) -> ModemConfig:
 class Decoder:
     """Per-rate decoder; payload pipelines jit-specialise per mode."""
 
-    def __init__(self, rate: int, list_size: int = 8):
+    def __init__(self, rate: int, list_size: int = 8,
+                 device_scl: bool = False):
         # mode choice does not affect the front-end/sync/header stages
         self.rate = rate
         self.cfg = ModemConfig(rate=rate, mode=MODES[6], freq_off=0)
         self.list_size = list_size
+        # device_scl: run list decoding through the on-device schedule
+        # VM instead of the host numpy reference (faster steady-state,
+        # slower first-call compile)
+        self.device_scl = device_scl
+        self._device_scl_cache: dict[int, object] = {}
         self.sync = sync.Synchronizer(self.cfg)
         self._header_jit = jax.jit(self._header_soft)
         self._frontend_jit = jax.jit(
@@ -177,7 +183,17 @@ class Decoder:
         code = PolarCode(n=mode.cons_bits, k=mode.crc_bits,
                          order=mode.code_order)
         full = code.lengthen_np(np.asarray(llrs, dtype=np.float64))
-        cands, _ = scl_decode_np(full, code.frozen, self.list_size)
+        if self.device_scl:
+            from .fec.scl_vm import make_decoder
+            dec = self._device_scl_cache.get(mode.cons_bits)
+            if dec is None:
+                dec = jax.jit(make_decoder(code.frozen, self.list_size))
+                self._device_scl_cache[mode.cons_bits] = dec
+            cands, pm = dec(jnp.asarray(full, dtype=jnp.float32))
+            order = np.argsort(np.asarray(pm), kind="stable")
+            cands = np.asarray(cands)[order]
+        else:
+            cands, _ = scl_decode_np(full, code.frozen, self.list_size)
         info = code.extract_info_np(cands)
         best = -1
         for k_ in range(info.shape[0]):

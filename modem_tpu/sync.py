@@ -36,10 +36,18 @@ from .numerology import ModemConfig
 
 
 def window_sum(x, w: int):
-    """y[n] = sum(x[n-w+1 .. n]) via cumsum difference (same length)."""
-    c = jnp.cumsum(x, axis=-1)
-    return c - jnp.concatenate(
-        [jnp.zeros_like(c[..., :w]), c[..., :-w]], axis=-1)
+    """y[n] = sum(x[n-w+1 .. n]), same length as x.
+
+    Uses lax.reduce_window (per-window tree reduction): the error is
+    O(eps * w * |local values|) regardless of recording length, unlike
+    a cumulative-sum difference whose cancellation grows with the
+    running total (JAX runs f32 by default — jnp.float64 is silently
+    demoted — so the cumsum trick would drift on minutes-long
+    recordings; the reference's recursive SMA has no such drift).
+    """
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, window_dimensions=(w,),
+        window_strides=(1,), padding=((w - 1, 0),))
 
 
 def schmitt_falling(timing, lo: float, hi: float):
@@ -105,8 +113,8 @@ class Synchronizer:
         indexed so that timing[n] corresponds to a S&C symbol whose
         payload starts at n - match_del (before the fine correction)."""
         L = self.L
-        a = x[L:-L].astype(jnp.float64)          # x[v + L]
-        b = x[2 * L:].astype(jnp.float64)        # x[v + 2L]
+        a = x[L:-L]                              # x[v + L]
+        b = x[2 * L:]                            # x[v + 2L]
         a = a[: b.shape[0]]
         prod = cplx.cmul_conj(a, b)
         p_re = window_sum(prod[..., 0], L)

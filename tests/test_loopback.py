@@ -65,6 +65,17 @@ def test_loopback_quantized_16bit(mode6_wave):
     assert res.payload == payload
 
 
+def test_loopback_device_scl(mode6_wave):
+    """Interactive decoder with the on-device SCL VM instead of the
+    numpy reference decoder."""
+    cfg, payload, rec, _ = mode6_wave
+    dec = Decoder(8000, device_scl=True)
+    res = dec.decode(rec, channels=2)
+    assert res.ok, res.status
+    assert res.payload == payload
+    assert res.bit_flips == 0
+
+
 def test_loopback_8bit_wav(mode6_wave):
     """8-bit PCM round trip (encode.cc BITS=8 support)."""
     from modem_tpu import wav
