@@ -52,9 +52,11 @@ T_RATE1 = 4      # fork rounds per RATE1 node
 
 OP_F, OP_G, OP_COMBINE, OP_RATE0, OP_REP, OP_RATE1 = range(6)
 
-# operand columns
+# operand columns (C_SUB marks internal-node ops whose half width is
+# below the chunk, i.e. whose second-half offsets are not chunk-aligned
+# — the Pallas kernel dispatches those to in-block shift-matmul variants)
 (C_OP, C_D, C_SRC, C_SRC2, C_DST, C_BSRC, C_BSRC2, C_BDST, C_SIDR,
- C_SIDR2, C_SIDW, C_WIDTH, C_LAST) = range(13)
+ C_SIDR2, C_SIDW, C_WIDTH, C_LAST, C_SUB) = range(14)
 
 
 @dataclasses.dataclass
@@ -85,14 +87,16 @@ def build_schedule(frozen_key) -> Schedule:
         lofs.append(pos)
         pos += max(n >> d, CHUNK)
     sz_llr = pos
-    # beta slots: per depth, A (left child result) and B (right child)
+    # beta slots: per depth, A (left child result) and B (right child).
+    # Depth 0 is the root — it has no sibling, so B_0 is never written
+    # and aliases A_0 (saves a full code length of buffer).
     bslot = np.zeros((depths, 2), dtype=np.int64)
     pos = 0
     for d in range(depths):
         alloc = max(n >> d, CHUNK)
         bslot[d, 0] = pos
-        bslot[d, 1] = pos + alloc
-        pos += 2 * alloc
+        bslot[d, 1] = pos + (alloc if d > 0 else 0)
+        pos += (2 * alloc) if d > 0 else alloc
     sz_beta = pos
 
     ops: list[tuple] = []
@@ -106,11 +110,13 @@ def build_schedule(frozen_key) -> Schedule:
         for j in range(nchunks):
             off = j * CHUNK
             width = min(CHUNK, w - off)
-            row = [0] * 13
+            row = [0] * 14
             row[C_OP] = op
             row[C_D] = d
             row[C_WIDTH] = width
             row[C_LAST] = int(j == nchunks - 1)
+            row[C_SUB] = int(op in (OP_F, OP_G, OP_COMBINE)
+                             and w % CHUNK != 0)
             for key, val in kw.items():
                 idx = {"src": C_SRC, "src2": C_SRC2, "dst": C_DST,
                        "bsrc": C_BSRC, "bsrc2": C_BSRC2, "bdst": C_BDST,
@@ -204,6 +210,25 @@ def make_batch_decoder(frozen: np.ndarray, batch: int,
     beta_scratch = np.int32(sched.sz_beta)
     lane_b = np.repeat(np.arange(B, dtype=np.int32), L) * L  # flat base
 
+    def lane_matrix(lanes):
+        """[W] source lanes -> one-hot [W, W] with S[p, l] = (p == lanes[l]).
+
+        Lane gathers lower terribly on TPU (per-lane compare-select
+        chains); mat @ S runs the same permutation on the MXU.
+        """
+        p = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
+        return (p == lanes[None, :]).astype(jnp.float32)
+
+    def lane_select(mat, s):
+        """mat [C, W] -> mat[:, lanes[l]] via the one-hot matmul."""
+        return jnp.dot(mat, s, preferred_element_type=jnp.float32)
+
+    def int_select(mat, s):
+        """Integer minor-axis gather via f32 matmul (values < 2^20)."""
+        out = jnp.dot(mat.astype(jnp.float32), s,
+                      preferred_element_type=jnp.float32)
+        return jnp.round(out).astype(jnp.int32)
+
     def select(pm, extra):
         """pm, extra: [W] keep/flip metrics -> (perm_flat, flip, pm')."""
         cand = jnp.concatenate(
@@ -220,11 +245,11 @@ def make_batch_decoder(frozen: np.ndarray, batch: int,
 
         def rd_llr(off):
             sl = jax.lax.dynamic_slice(llr, (off, 0), (CHUNK, W))
-            return jnp.take(sl, refs[d], axis=1)
+            return lane_select(sl, lane_matrix(refs[d]))
 
         def rd_beta(sid, off):
             sl = jax.lax.dynamic_slice(beta, (off, 0), (CHUNK, W))
-            return jnp.take(sl, brefs[sid], axis=1)
+            return lane_select(sl, lane_matrix(brefs[sid]))
 
         zero_chunk = jnp.zeros((CHUNK, W), jnp.float32)
 
@@ -267,37 +292,50 @@ def make_batch_decoder(frozen: np.ndarray, batch: int,
             m0 = jnp.sum(jnp.maximum(-a, 0.0) * m, axis=0)
             m1 = jnp.sum(jnp.maximum(a, 0.0) * m, axis=0)
             perm, flip, pm2 = select(pm + m0, m1 - m0)
+            s = lane_matrix(perm)
             sign = jnp.where(flip, -1.0, 1.0).astype(jnp.float32)
             bval = jnp.broadcast_to(sign[None, :], (CHUNK, W))
             return (zero_chunk, llr_scratch, bval, row[C_BDST],
-                    zero_chunk, beta_scratch,
-                    jnp.take(refs, perm, axis=1),
-                    _reset_row(jnp.take(brefs, perm, axis=1),
-                               row[C_SIDW], row[C_LAST]), pm2)
+                    zero_chunk, beta_scratch, int_select(refs, s),
+                    _reset_row(int_select(brefs, s), row[C_SIDW],
+                               row[C_LAST]), pm2)
 
         def op_rate1(_):
             a = rd_llr(row[C_SRC])
             valid = (jnp.arange(CHUNK) < row[C_WIDTH])[:, None]
             mag = jnp.where(valid, jnp.abs(a), big)
             b_local = jnp.where(a < 0, -1.0, 1.0) * valid
-            vals, idxs = jax.lax.top_k(-mag.T, T_RATE1)   # [W, T]
-            vals = -vals
+            # T least-reliable positions per lane by iterative
+            # min-extraction (a full top_k sort lowers poorly here)
+            iota_c = jnp.arange(CHUNK)[:, None]
+            vals_l, idxs_l = [], []
+            mag_t = mag
+            for _ in range(T_RATE1):
+                v = jnp.min(mag_t, axis=0)
+                at = jnp.min(jnp.where(mag_t == v[None, :], iota_c,
+                                       CHUNK), axis=0)
+                vals_l.append(v)
+                idxs_l.append(at)
+                mag_t = jnp.where(iota_c == at[None, :], big, mag_t)
+            vals = jnp.stack(vals_l, axis=1)              # [W, T]
+            idxs = jnp.stack(idxs_l, axis=1)
             gperm = jnp.arange(W)
             pm2 = pm
             for r in range(T_RATE1):
                 perm, flip, pm2 = select(pm2, vals[:, r])
-                b_local = jnp.take(b_local, perm, axis=1)
-                vals = jnp.take(vals, perm, axis=0)
-                idxs = jnp.take(idxs, perm, axis=0)
+                s = lane_matrix(perm)
+                b_local = lane_select(b_local, s)
+                vals = lane_select(vals.T, s).T
+                idxs = int_select(idxs.T, s).T
                 gperm = jnp.take(gperm, perm)
                 onehot = ((jnp.arange(CHUNK)[:, None] ==
                            idxs[:, r][None, :]) & flip[None, :])
                 b_local = jnp.where(onehot, -b_local, b_local)
+            s = lane_matrix(gperm)
             return (zero_chunk, llr_scratch, b_local, row[C_BDST],
-                    zero_chunk, beta_scratch,
-                    jnp.take(refs, gperm, axis=1),
-                    _reset_row(jnp.take(brefs, gperm, axis=1),
-                               row[C_SIDW], row[C_LAST]), pm2)
+                    zero_chunk, beta_scratch, int_select(refs, s),
+                    _reset_row(int_select(brefs, s), row[C_SIDW],
+                               row[C_LAST]), pm2)
 
         (lval, loff, bval1, boff1, bval2, boff2, refs2, brefs2,
          pm2) = jax.lax.switch(
