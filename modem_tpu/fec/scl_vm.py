@@ -50,7 +50,7 @@ import numpy as np
 CHUNK = 512      # static op width (columns)
 T_RATE1 = 4      # fork rounds per RATE1 node
 
-OP_F, OP_G, OP_COMBINE, OP_RATE0, OP_REP, OP_RATE1 = range(6)
+OP_F, OP_G, OP_COMBINE, OP_RATE0, OP_REP, OP_RATE1, OP_SPC = range(7)
 
 # operand columns (C_SUB marks internal-node ops whose half width is
 # below the chunk, i.e. whose second-half offsets are not chunk-aligned
@@ -143,6 +143,12 @@ def build_schedule(frozen_key) -> Schedule:
                 return
             if s == w - 1 and fz[-1] == 0:
                 emit(OP_REP, d, w, side, src=lofs[d], bdst=own,
+                     sidw=sid(d, side))
+                return
+            if s == 1 and fz[0] == 1:
+                # single parity check: list decode with exclusive
+                # pair-flip alternatives (Fast-SSC-List SPC node)
+                emit(OP_SPC, d, w, side, src=lofs[d], bdst=own,
                      sidw=sid(d, side))
                 return
         h = w // 2
@@ -337,10 +343,59 @@ def make_batch_decoder(frozen: np.ndarray, batch: int,
                     _reset_row(int_select(brefs, s), row[C_SIDW],
                                row[C_LAST]), pm2)
 
+        def op_spc(_):
+            """Single-parity-check node (Fast-SSC-List): parity-fix the
+            hard decisions, fork on exclusive pair flips {i0, ij}."""
+            a = rd_llr(row[C_SRC])
+            valid = (jnp.arange(CHUNK) < row[C_WIDTH])[:, None]
+            mag = jnp.where(valid, jnp.abs(a), big)
+            b = jnp.where(a < 0, -1.0, 1.0) * valid
+            odd = (jnp.sum(b < 0, axis=0) % 2) == 1           # [W]
+            iota_c = jnp.arange(CHUNK)[:, None]
+            vals_l, idxs_l = [], []
+            mag_t = mag
+            for _k in range(T_RATE1):
+                v = jnp.min(mag_t, axis=0)
+                at = jnp.min(jnp.where(mag_t == v[None, :], iota_c,
+                                       CHUNK), axis=0)
+                vals_l.append(v)
+                idxs_l.append(at)
+                mag_t = jnp.where(iota_c == at[None, :], big, mag_t)
+            vals = jnp.stack(vals_l, axis=1)                  # [W, T]
+            idxs = jnp.stack(idxs_l, axis=1)
+            pm2 = pm + jnp.where(odd, vals[:, 0], 0.0)
+            b = jnp.where((iota_c == idxs[:, 0][None, :]) &
+                          odd[None, :], -b, b)
+            switched = jnp.zeros((W,), jnp.bool_)
+            gperm = jnp.arange(W)
+            for r in range(1, T_RATE1):
+                delta = jnp.where(odd, vals[:, r] - vals[:, 0],
+                                  vals[:, r] + vals[:, 0])
+                delta = jnp.where(switched, big, delta)
+                perm, flip, pm2 = select(pm2, delta)
+                s = lane_matrix(perm)
+                b = lane_select(b, s)
+                vals = lane_select(vals.T, s).T
+                idxs = int_select(idxs.T, s).T
+                odd = int_select(
+                    odd.astype(jnp.int32)[None, :], s)[0] > 0
+                switched = int_select(
+                    switched.astype(jnp.int32)[None, :], s)[0] > 0
+                gperm = jnp.take(gperm, perm)
+                pair = ((iota_c == idxs[:, 0][None, :]) |
+                        (iota_c == idxs[:, r][None, :]))
+                b = jnp.where(pair & flip[None, :], -b, b)
+                switched = switched | flip
+            s = lane_matrix(gperm)
+            return (zero_chunk, llr_scratch, b, row[C_BDST],
+                    zero_chunk, beta_scratch, int_select(refs, s),
+                    _reset_row(int_select(brefs, s), row[C_SIDW],
+                               row[C_LAST]), pm2)
+
         (lval, loff, bval1, boff1, bval2, boff2, refs2, brefs2,
          pm2) = jax.lax.switch(
             row[C_OP], [op_f, op_g, op_combine, op_rate0, op_rep,
-                        op_rate1], None)
+                        op_rate1, op_spc], None)
         llr = jax.lax.dynamic_update_slice(llr, lval, (loff, 0))
         beta = jax.lax.dynamic_update_slice(beta, bval1, (boff1, 0))
         beta = jax.lax.dynamic_update_slice(beta, bval2, (boff2, 0))
@@ -468,10 +523,59 @@ def make_decoder(frozen: np.ndarray, list_size: int = 8):
                     _reset_row(brefs[:, gperm], row[C_SIDW],
                                row[C_LAST]), pm2)
 
+        def op_spc(_):
+            """Single-parity-check node (Fast-SSC-List): parity-fix the
+            hard decisions, fork on exclusive pair flips {i0, ij}."""
+            a = rd_llr(row[C_SRC])
+            valid = (jnp.arange(CHUNK) < row[C_WIDTH])[None, :]
+            mag = jnp.where(valid, jnp.abs(a), big)
+            b = jnp.where(a < 0, -1.0, 1.0) * valid
+            odd = (jnp.sum(b < 0, axis=-1) % 2) == 1          # [L]
+            iota_c = jnp.arange(CHUNK)[None, :]
+            vals_l, idxs_l = [], []
+            mag_t = mag
+            for _k in range(T_RATE1):
+                v = jnp.min(mag_t, axis=-1)
+                at = jnp.min(jnp.where(mag_t == v[:, None], iota_c,
+                                       CHUNK), axis=-1)
+                vals_l.append(v)
+                idxs_l.append(at)
+                mag_t = jnp.where(iota_c == at[:, None], big, mag_t)
+            vals = jnp.stack(vals_l, axis=1)                  # [L, T]
+            idxs = jnp.stack(idxs_l, axis=1)
+            v0, i0 = vals[:, 0], idxs[:, 0]
+            pm2 = pm + jnp.where(odd, v0, 0.0)
+            b = jnp.where((iota_c == i0[:, None]) & odd[:, None],
+                          -b, b)
+            switched = jnp.zeros((L,), jnp.bool_)
+            gperm = jnp.arange(L)
+            for r in range(1, T_RATE1):
+                delta = jnp.where(odd, vals[:, r] - v0,
+                                  vals[:, r] + v0)
+                delta = jnp.where(switched, big, delta)
+                perm, flip, pm2 = _select_paths(
+                    jnp.concatenate([pm2, pm2 + delta]), L)
+                b = jnp.take(b, perm, axis=0)
+                vals = jnp.take(vals, perm, axis=0)
+                idxs = jnp.take(idxs, perm, axis=0)
+                v0 = jnp.take(v0, perm)
+                i0 = jnp.take(i0, perm)
+                odd = jnp.take(odd, perm)
+                switched = jnp.take(switched, perm)
+                gperm = jnp.take(gperm, perm)
+                pair = ((iota_c == i0[:, None]) |
+                        (iota_c == idxs[:, r][:, None]))
+                b = jnp.where(pair & flip[:, None], -b, b)
+                switched = switched | flip
+            return (zero_chunk, llr_scratch, b, row[C_BDST],
+                    zero_chunk, beta_scratch, refs[:, gperm],
+                    _reset_row(brefs[:, gperm], row[C_SIDW],
+                               row[C_LAST]), pm2)
+
         (lval, loff, bval1, boff1, bval2, boff2, refs2, brefs2,
          pm2) = jax.lax.switch(
             row[C_OP], [op_f, op_g, op_combine, op_rate0, op_rep,
-                        op_rate1], None)
+                        op_rate1, op_spc], None)
 
         # Unconditional big-buffer writes (aliasing-friendly).
         llr = jax.lax.dynamic_update_slice(llr, lval, (0, loff))

@@ -33,7 +33,10 @@ class BatchPipeline:
     """Jit-once batched decoder for one (rate, mode, recording length)."""
 
     def __init__(self, rate: int, oper_mode: int, list_size: int = 8,
-                 mode_spec=None, symbol_len_override=None):
+                 mode_spec=None, symbol_len_override=None,
+                 scl_backend: str = "auto"):
+        """scl_backend: 'pallas' (VMEM-resident kernel, TPU only),
+        'xla' (lax.scan VM), or 'auto' (pallas on TPU, xla elsewhere)."""
         mode = mode_spec if mode_spec is not None else MODES[oper_mode]
         self.cfg = ModemConfig(rate=rate, mode=mode, freq_off=0,
                                symbol_len_override=symbol_len_override)
@@ -45,14 +48,23 @@ class BatchPipeline:
         self.crc_mat = np.asarray(
             B.crc32.check_matrix(mode.crc_bits), dtype=np.float32)
         self.list_size = list_size
+        if scl_backend == "auto":
+            scl_backend = ("pallas" if jax.default_backend()
+                           not in ("cpu",) else "xla")
+        self.scl_backend = scl_backend
         self._decode_batch = jax.jit(jax.vmap(self._decode_one))
         self._batched_cache: dict[int, object] = {}
 
     def _batched_fn(self, batch: int):
-        """Whole-batch decode with the flat-lane SCL VM (fast path)."""
+        """Whole-batch decode with the batched SCL backend (fast path)."""
         if batch in self._batched_cache:
             return self._batched_cache[batch]
-        scl = make_batch_decoder(self.code.frozen, batch, self.list_size)
+        if self.scl_backend == "pallas":
+            from .kernels.scl_pallas import make_pallas_decoder
+            scl = make_pallas_decoder(self.code.frozen, self.list_size)
+        else:
+            scl = make_batch_decoder(self.code.frozen, batch,
+                                     self.list_size)
         mode = self.cfg.mode
 
         def run(recs):
