@@ -73,6 +73,8 @@ class Decoder:
         self._device_scl_cache: dict[int, object] = {}
         self.sync = sync.Synchronizer(self.cfg)
         self._header_jit = jax.jit(self._header_soft)
+        # eager op dispatch is expensive on this backend; jit the OSD
+        self._osd_jit = jax.jit(lambda soft: osd_decode(soft))
         self._frontend_jit = jax.jit(
             functools.partial(
                 dsp.frontend, channels=1,
@@ -115,7 +117,7 @@ class Decoder:
             return None, "header window out of range"
         soft = self._header_jit(jnp.asarray(x[lo: lo + s]),
                                 jnp.float32(cand.cfo_rad))
-        data, unique = osd_decode(soft)
+        data, unique = self._osd_jit(soft)
         if not bool(unique):
             return None, "OSD error"
         data = np.asarray(data)

@@ -4,23 +4,27 @@ Executes the same static instruction schedule as fec/scl_vm.py (see its
 docstring for the algorithm) entirely inside one kernel invocation with
 VMEM-resident state:
 
-  * LLR tree   [rows, L, 512] f32 (~4.3 MB)   — VMEM scratch
-  * beta slots [rows, L, 512] f32 (~6.4 MB)   — VMEM scratch
-  * lane indirections / path metrics — small VMEM tiles
+  * LLR tree   [rows, F*L, 512] f32   — VMEM scratch
+  * beta slots [rows, F*L, 512] f32   — VMEM scratch
+  * lane indirections / path metrics  — small VMEM tiles
 
-so the ~20k sequential micro-steps never touch HBM (the XLA scan
-version streams ~MBs of chunk state per step).  Every schedule offset
-is a multiple of the 512 chunk, so buffers are addressed by block row;
-lane permutations (list forks) are one-hot [L, L] matmuls; top-k
+so the ~10k sequential micro-steps never touch HBM (the XLA scan
+version streams ~MBs of chunk state per step).  F frames decode
+together per grid cell, sharing one schedule pass — the per-op cost is
+latency-dominated, so wider tiles are nearly free.  Every schedule
+offset is a multiple of the 512 chunk (buffers are addressed by block
+row); lane permutations (list forks) are one-hot matmuls; top-k
 selections are short iterative min-extractions (sorts and gathers both
 lower poorly on the VPU).
 
 Mosaic constraints honoured throughout: every vector value is rank-2
-(per-path scalars are [L, 1] columns or [1, L] rows — rank-1 arrays
+(per-path scalars are [P, 1] columns or [1, P] rows — rank-1 arrays
 crash the layout inferer), dim insertions happen on 32-bit types only,
 and no scatter/gather primitives are used.
 
-One frame decodes per grid cell; the grid runs over the batch.
+NOTE: pallas_call must be invoked under jax.jit on this backend — an
+eager call re-dispatches through the remote-compile relay every time
+(~2.3 s fixed per call, measured).
 """
 
 from __future__ import annotations
@@ -39,12 +43,14 @@ BIG = 3.0e38
 
 
 def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
+                        frames_per_cell: int = 1,
                         interpret: bool = False, ops_override=None):
     """Compile the Pallas SCL decoder for one frozen mask.
 
     Returns fn: llrs [batch, code_len] f32 -> (codewords [batch, L,
-    code_len] uint8, pm [batch, L] f32).  ops_override replaces the
-    instruction table (profiling aid).
+    code_len] uint8, pm [batch, L] f32); batch must be a multiple of
+    frames_per_cell.  ops_override replaces the instruction table
+    (profiling aid).
     """
     sched = build_schedule(np.asarray(frozen, dtype=np.uint8).tobytes())
     if ops_override is not None:
@@ -52,6 +58,8 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
         sched = _dc.replace(sched, ops=np.asarray(ops_override,
                                                   dtype=np.int32))
     L = list_size
+    F = frames_per_cell
+    P = F * L
     n = sched.code_len
     n_rows = -(-n // CHUNK)
     llr_rows = sched.sz_llr // CHUNK
@@ -72,63 +80,76 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
         return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
 
     def perm_matrix(perm_col):
-        """perm [L, 1] -> P [L, L] with (P @ mat)[l] = mat[perm[l]]."""
-        return (iota2((L, L), 1) == perm_col).astype(jnp.float32)
+        """perm [P, 1] flat lanes -> M [P, P]: (M @ mat)[p] = mat[perm[p]]."""
+        return (iota2((P, P), 1) == perm_col).astype(jnp.float32)
 
-    def select_l_smallest(cand_row):
-        """cand [1, 2L] -> (perm [L,1], flip [L,1], pm [1,L])."""
-        idx2 = iota2((1, 2 * L), 1)
+    def select_l_smallest(cand):
+        """cand [F, 2L] -> (perm_flat [P,1], flip [P,1], pm [1,P]).
+
+        Per-frame iterative min-extraction: L rounds, each taking every
+        frame's current minimum (ties to the lowest index, like top_k).
+        """
+        idx2 = iota2((F, 2 * L), 1)
+        frame_off = iota2((F, L), 0) * L
 
         def body(k, carry):
             cand, perm, flip, pm = carry
-            m = jnp.min(cand)
-            at = jnp.min(jnp.where(cand == m, idx2, 2 * L))
-            sel = iota2((1, L), 1) == k
+            m = jnp.min(cand, axis=1, keepdims=True)           # [F, 1]
+            at = jnp.min(jnp.where(cand == m, idx2, 2 * L),
+                         axis=1, keepdims=True)                # [F, 1]
+            sel = iota2((F, L), 1) == k
             perm = jnp.where(sel, at % L, perm)
             flip = jnp.where(sel, jnp.where(at >= L, 1, 0), flip)
             pm = jnp.where(sel, m, pm)
             cand = jnp.where(idx2 == at, BIG, cand)
             return cand, perm, flip, pm
 
-        zero_i = jnp.zeros((1, L), jnp.int32)
-        zero_f = jnp.zeros((1, L), jnp.float32)
+        zero_i = jnp.zeros((F, L), jnp.int32)
+        zero_f = jnp.zeros((F, L), jnp.float32)
         _, perm, flip, pm = jax.lax.fori_loop(
-            0, L, body, (cand_row, zero_i, zero_i, zero_f))
-        return perm.T, flip.T, pm
+            0, L, body, (cand, zero_i, zero_i, zero_f))
+        perm_flat = jnp.reshape(perm + frame_off, (P, 1))
+        return perm_flat, jnp.reshape(flip, (P, 1)), \
+            jnp.reshape(pm, (1, P))
 
     def kernel(ops_ref, llr_in_ref, cw_ref, pm_ref, llr_s, beta_s,
                refs_s, pm_s):
         # ---- per-cell init -------------------------------------------
         for r in range(n_rows):
-            row = llr_in_ref[0, r:r + 1, :]            # [1, CHUNK]
-            llr_s[r] = jnp.broadcast_to(row, (L, CHUNK))
-        refs_s[:] = jnp.broadcast_to(iota2((1, 128), 1) % L,
-                                     refs_s.shape)
-        pm_s[:] = jnp.where(iota2(pm_s.shape, 1) == 0, 0.0, BIG / 2)
+            rows = llr_in_ref[0, :, r, :]                  # [F, CHUNK]
+            lanes = jnp.reshape(
+                jnp.broadcast_to(rows[:, None, :], (F, L, CHUNK)),
+                (P, CHUNK))
+            llr_s[r] = lanes
+        # identity lane maps: lane p sources itself
+        refs_s[:] = jnp.broadcast_to(iota2((1, 128), 1), refs_s.shape)
+        # lane l=0 of each frame live; clones die at the first fork
+        pm_s[:] = jnp.where((iota2(pm_s.shape, 1) % L) == 0, 0.0,
+                            BIG / 2)
 
         # ---- helpers --------------------------------------------------
         def read_with(perm_col, buf, brow):
-            p = perm_matrix(perm_col)
-            return jnp.dot(p, buf[brow],
+            m = perm_matrix(perm_col)
+            return jnp.dot(m, buf[brow],
                            preferred_element_type=jnp.float32)
 
         def read_llr(d, brow):
-            return read_with(refs_s[pl.ds(d, 1), :L].T, llr_s, brow)
+            return read_with(refs_s[pl.ds(d, 1), :P].T, llr_s, brow)
 
         def read_beta(sid, brow):
-            return read_with(refs_s[pl.ds(depths + sid, 1), :L].T,
+            return read_with(refs_s[pl.ds(depths + sid, 1), :P].T,
                              beta_s, brow)
 
         def reset_ref(idx, last):
             @pl.when(last > 0)
             def _():
-                refs_s[pl.ds(idx, 1)] = iota2((1, 128), 1) % L
+                refs_s[pl.ds(idx, 1)] = iota2((1, 128), 1)
 
         def permute_refs(perm_col):
-            """refs[:, l] <- refs[:, perm[l]] (identity beyond lane L)
+            """refs[:, p] <- refs[:, perm[p]] (identity beyond lane P)
             via one [*, 128] x [128, 128] one-hot matmul."""
             perm128 = jnp.concatenate(
-                [perm_col, iota2((128 - L, 1), 0) + L], axis=0)
+                [perm_col, iota2((128 - P, 1), 0) + P], axis=0)
             s128 = (iota2((128, 128), 0) == perm128.T).astype(
                 jnp.float32)
             out = jnp.dot(refs_s[:].astype(jnp.float32), s128,
@@ -136,15 +157,24 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
             refs_s[:] = jnp.round(out).astype(jnp.int32)
 
         def chunk_mask(width):
-            return iota2((L, CHUNK), 1) < width
+            return iota2((P, CHUNK), 1) < width
 
         def pm_row():
-            return pm_s[0:1, :L]                        # [1, L]
+            return pm_s[0:1, :P]                        # [1, P]
+
+        def pm_frames():
+            return jnp.reshape(pm_s[0:1, :P], (F, L))
 
         def pm_put(row):
             pm_s[0:1, :] = jnp.concatenate(
-                [row, jnp.full((1, 128 - L), BIG, jnp.float32)],
+                [row, jnp.full((1, 128 - P), BIG, jnp.float32)],
                 axis=1)
+
+        def cand_of(delta_col):
+            """keep/flip candidates [F, 2L] from a [P, 1] flip cost."""
+            keep = pm_frames()
+            flip = keep + jnp.reshape(delta_col, (F, L))
+            return jnp.concatenate([keep, flip], axis=1)
 
         # ---- schedule interpreter ------------------------------------
         def body(i, _):
@@ -183,9 +213,9 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                 pen = jnp.sum(
                     jnp.where(chunk_mask(width),
                               jnp.maximum(-a, 0.0), 0.0),
-                    axis=1, keepdims=True)              # [L, 1]
+                    axis=1, keepdims=True)              # [P, 1]
                 pm_put(pm_row() + pen.T)
-                beta_s[ops_ref[i, C_BDST]] = jnp.ones((L, CHUNK),
+                beta_s[ops_ref[i, C_BDST]] = jnp.ones((P, CHUNK),
                                                       jnp.float32)
                 reset_ref(depths + ops_ref[i, C_SIDW], last)
                 return 0
@@ -194,20 +224,33 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                 a = read_llr(d, ops_ref[i, C_SRC])
                 m = chunk_mask(width)
                 m0 = jnp.sum(jnp.where(m, jnp.maximum(-a, 0.0), 0.0),
-                             axis=1, keepdims=True).T    # [1, L]
+                             axis=1, keepdims=True)      # [P, 1]
                 m1 = jnp.sum(jnp.where(m, jnp.maximum(a, 0.0), 0.0),
-                             axis=1, keepdims=True).T
-                pm = pm_row()
-                cand = jnp.concatenate([pm + m0, pm + m1], axis=1)
-                perm, flip, pm2 = select_l_smallest(cand)
+                             axis=1, keepdims=True)
+                pm_put(pm_row() + m0.T)
+                perm, flip, pm2 = select_l_smallest(cand_of(m1 - m0))
                 sign = jnp.where(flip > 0, -1.0, 1.0).astype(
-                    jnp.float32)                         # [L, 1]
+                    jnp.float32)                         # [P, 1]
                 beta_s[ops_ref[i, C_BDST]] = jnp.broadcast_to(
-                    sign, (L, CHUNK))
+                    sign, (P, CHUNK))
                 permute_refs(perm)
                 pm_put(pm2)
                 reset_ref(depths + ops_ref[i, C_SIDW], last)
                 return 0
+
+            def least_reliable(mag, iota):
+                """T smallest |llr| per lane: ([P, T] vals, [P, T] idx)."""
+                vals_l, idxs_l = [], []
+                mag_t = mag
+                for _k in range(T_RATE1):
+                    v = jnp.min(mag_t, axis=1, keepdims=True)
+                    at = jnp.min(jnp.where(mag_t == v, iota, CHUNK),
+                                 axis=1, keepdims=True)
+                    vals_l.append(v)
+                    idxs_l.append(at)
+                    mag_t = jnp.where(iota == at, BIG, mag_t)
+                return (jnp.concatenate(vals_l, axis=1),
+                        jnp.concatenate(idxs_l, axis=1))
 
             def do_rate1(_):
                 a = read_llr(d, ops_ref[i, C_SRC])
@@ -215,16 +258,16 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                 mag0 = jnp.where(valid, jnp.abs(a), BIG)
                 b0 = jnp.where(valid, jnp.where(a < 0.0, -1.0, 1.0),
                                0.0)
-                iota = iota2((L, CHUNK), 1)
+                iota = iota2((P, CHUNK), 1)
                 pm0 = pm_row()
 
                 def round_body(r, carry):
                     mag, b_local, pm = carry
-                    v = jnp.min(mag, axis=1, keepdims=True)  # [L, 1]
+                    v = jnp.min(mag, axis=1, keepdims=True)  # [P, 1]
                     at = jnp.min(jnp.where(mag == v, iota, CHUNK),
-                                 axis=1, keepdims=True)      # [L, 1]
-                    cand = jnp.concatenate([pm, pm + v.T], axis=1)
-                    perm, flip, pm2 = select_l_smallest(cand)
+                                 axis=1, keepdims=True)      # [P, 1]
+                    pm_put(pm)
+                    perm, flip, pm2 = select_l_smallest(cand_of(v))
                     pmat = perm_matrix(perm)
                     b_local = jnp.dot(pmat, b_local,
                                       preferred_element_type=jnp.float32)
@@ -233,7 +276,7 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                     at2 = jnp.round(jnp.dot(
                         pmat, at.astype(jnp.float32),
                         preferred_element_type=jnp.float32)).astype(
-                            jnp.int32)                   # [L, 1]
+                            jnp.int32)                   # [P, 1]
                     hit = iota == at2
                     b_local = jnp.where(hit & (flip > 0), -b_local,
                                         b_local)
@@ -256,38 +299,24 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                 mag = jnp.where(valid, jnp.abs(a), BIG)
                 b = jnp.where(valid, jnp.where(a < 0.0, -1.0, 1.0),
                               0.0)
-                iota = iota2((L, CHUNK), 1)
+                iota = iota2((P, CHUNK), 1)
                 negs = jnp.sum(jnp.where(b < 0.0, 1, 0), axis=1,
-                               keepdims=True)             # [L, 1]
-                odd = (negs % 2) == 1                     # [L, 1] bool
-
-                # T least-reliable positions per path
-                vals_l, idxs_l = [], []
-                mag_t = mag
-                for _k in range(T_RATE1):
-                    v = jnp.min(mag_t, axis=1, keepdims=True)
-                    at = jnp.min(jnp.where(mag_t == v, iota, CHUNK),
-                                 axis=1, keepdims=True)
-                    vals_l.append(v)
-                    idxs_l.append(at)
-                    mag_t = jnp.where(iota == at, BIG, mag_t)
-                vals = jnp.concatenate(vals_l, axis=1)    # [L, T]
-                idxs = jnp.concatenate(idxs_l, axis=1)
-
+                               keepdims=True)             # [P, 1]
+                odd = (negs % 2) == 1
+                vals, idxs = least_reliable(mag, iota)
                 v0 = vals[:, 0:1]
                 i0 = idxs[:, 0:1]
                 pm = pm_row() + jnp.where(odd, v0, 0.0).T
                 b = jnp.where((iota == i0) & odd, -b, b)
-                switched = jnp.zeros((L, 1), jnp.int32)
+                switched = jnp.zeros((P, 1), jnp.int32)
                 pm2 = pm
                 for r in range(1, T_RATE1):
                     vr = vals[:, r:r + 1]
                     delta = jnp.where(odd, vr - vals[:, 0:1],
                                       vr + vals[:, 0:1])
                     delta = jnp.where(switched > 0, BIG, delta)
-                    cand = jnp.concatenate([pm2, pm2 + delta.T],
-                                           axis=1)
-                    perm, flip, pm2 = select_l_smallest(cand)
+                    pm_put(pm2)
+                    perm, flip, pm2 = select_l_smallest(cand_of(delta))
                     pmat = perm_matrix(perm)
                     b = jnp.dot(pmat, b,
                                 preferred_element_type=jnp.float32)
@@ -333,7 +362,7 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
             def clean(mat, cols):
                 """Zero columns >= cols: garbage (NaN on interpret)
                 would poison the shift matmul contraction."""
-                return jnp.where(iota2((L, CHUNK), 1) < cols, mat, 0.0)
+                return jnp.where(iota2((P, CHUNK), 1) < cols, mat, 0.0)
 
             def do_f_s(_):
                 blk = clean(read_llr(d, ops_ref[i, C_SRC]), 2 * width)
@@ -374,48 +403,54 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
 
         # ---- emit outputs --------------------------------------------
         for r in range(n_rows):
-            cw_ref[0, :, r * CHUNK:(r + 1) * CHUNK] = (
-                beta_s[out_row0 + r] < 0.0).astype(jnp.int32)
+            blk = jnp.reshape(beta_s[out_row0 + r], (F, L, CHUNK))
+            cw_ref[0, :, :, r * CHUNK:(r + 1) * CHUNK] = (
+                blk < 0.0).astype(jnp.int32)
         pm_ref[0, 0:1, :] = pm_s[0:1, :]
 
     n_pad = n_rows * CHUNK
 
     def decode(llrs):
         batch = llrs.shape[0]
+        assert batch % F == 0, (batch, F)
+        cells = batch // F
         if n_pad != n:
             llrs = jnp.concatenate(
                 [llrs, jnp.zeros((batch, n_pad - n), llrs.dtype)],
                 axis=1)
-        blocks = llrs.reshape(batch, n_rows, CHUNK)
+        blocks = llrs.reshape(cells, F, n_rows, CHUNK)
         cw, pm = pl.pallas_call(
             kernel,
-            grid=(batch,),
+            grid=(cells,),
             in_specs=[
                 pl.BlockSpec((sched.n_ops, 16), lambda b: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n_rows, CHUNK), lambda b: (b, 0, 0),
+                pl.BlockSpec((1, F, n_rows, CHUNK),
+                             lambda b: (b, 0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, L, n_pad), lambda b: (b, 0, 0),
+                pl.BlockSpec((1, F, L, n_pad), lambda b: (b, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, 128), lambda b: (b, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((batch, L, n_pad), jnp.int32),
-                jax.ShapeDtypeStruct((batch, 1, 128), jnp.float32),
+                jax.ShapeDtypeStruct((cells, F, L, n_pad), jnp.int32),
+                jax.ShapeDtypeStruct((cells, 1, 128), jnp.float32),
             ],
             scratch_shapes=[
-                pltpu.VMEM((llr_rows, L, CHUNK), jnp.float32),
-                pltpu.VMEM((beta_rows, L, CHUNK), jnp.float32),
+                pltpu.VMEM((llr_rows, P, CHUNK), jnp.float32),
+                pltpu.VMEM((beta_rows, P, CHUNK), jnp.float32),
                 pltpu.VMEM((3 * depths, 128), jnp.int32),
                 pltpu.VMEM((1, 128), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
+                vmem_limit_bytes=112 * 1024 * 1024),
             interpret=interpret,
         )(jnp.asarray(ops16), blocks)
-        return cw[:, :, :n].astype(jnp.uint8), pm[:, 0, :L]
+        cw = cw.reshape(batch, L, n_pad)[:, :, :n].astype(jnp.uint8)
+        pm = pm[:, 0, :P].reshape(batch, L)
+        return cw, pm
 
     return decode

@@ -1,0 +1,41 @@
+"""Pallas SCL kernel vs XLA VM parity (interpreter mode, toy code)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from modem_tpu.fec.polar import PolarCode
+from modem_tpu.fec.scl_vm import make_decoder
+from modem_tpu.kernels.scl_pallas import make_pallas_decoder
+
+TOY = PolarCode(n=224, k=144, order=8)
+
+
+@pytest.fixture(scope="module")
+def toy_llrs():
+    rng = np.random.default_rng(0)
+    m = rng.integers(0, 2, TOY.mesg_bits, dtype=np.uint8)
+    m[TOY.k:] = 0
+    cw = TOY.encode_systematic_np(m)
+    tx = 1.0 - 2.0 * TOY.shorten_np(cw).astype(np.float64)
+    llrs = np.stack([
+        TOY.lengthen_np(2 * (tx + 0.5 * rng.standard_normal(TOY.n))
+                        / 0.25) for _ in range(4)]).astype(np.float32)
+    return cw, llrs
+
+
+@pytest.mark.parametrize("frames_per_cell", [1, 2])
+def test_pallas_matches_xla_vm(toy_llrs, frames_per_cell):
+    cw, llrs = toy_llrs
+    ref = jax.jit(jax.vmap(make_decoder(TOY.frozen, 8)))
+    cws_r, pm_r = (np.asarray(v) for v in ref(jnp.asarray(llrs)))
+    pal = make_pallas_decoder(TOY.frozen, 8,
+                              frames_per_cell=frames_per_cell,
+                              interpret=True)
+    cws_p, pm_p = (np.asarray(v) for v in pal(jnp.asarray(llrs)))
+    assert np.allclose(np.sort(pm_r, axis=1), np.sort(pm_p, axis=1))
+    for b in range(llrs.shape[0]):
+        assert (np.sort(cws_r[b], axis=0) ==
+                np.sort(cws_p[b], axis=0)).all()
+        assert (cws_p[b] == cw).all(axis=1).any()
