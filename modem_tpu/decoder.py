@@ -61,14 +61,18 @@ class Decoder:
     """Per-rate decoder; payload pipelines jit-specialise per mode."""
 
     def __init__(self, rate: int, list_size: int = 8,
-                 device_scl: bool = False):
+                 device_scl="auto"):
         # mode choice does not affect the front-end/sync/header stages
         self.rate = rate
         self.cfg = ModemConfig(rate=rate, mode=MODES[6], freq_off=0)
         self.list_size = list_size
         # device_scl: run list decoding through the on-device schedule
-        # VM instead of the host numpy reference (faster steady-state,
-        # slower first-call compile)
+        # VM / Pallas kernel instead of the host numpy reference.  The
+        # numpy SCL is leaf-exact but takes ~minutes at the 2^16 wire
+        # size, so "auto" (device) is the default; pass False to use it
+        # as a correctness oracle.
+        if device_scl == "auto":
+            device_scl = True
         self.device_scl = device_scl
         self._device_scl_cache: dict[int, object] = {}
         self.sync = sync.Synchronizer(self.cfg)
@@ -186,10 +190,20 @@ class Decoder:
                          order=mode.code_order)
         full = code.lengthen_np(np.asarray(llrs, dtype=np.float64))
         if self.device_scl:
-            from .fec.scl_vm import make_decoder
             dec = self._device_scl_cache.get(mode.cons_bits)
             if dec is None:
-                dec = jax.jit(make_decoder(code.frozen, self.list_size))
+                if jax.default_backend() == "cpu":
+                    from .fec.scl_vm import make_decoder
+                    dec = jax.jit(make_decoder(code.frozen,
+                                               self.list_size))
+                else:
+                    # Pallas kernel: seconds to compile vs minutes for
+                    # the 10k-op scan graph through the remote compiler
+                    from .kernels.scl_pallas import make_pallas_decoder
+                    one = jax.jit(make_pallas_decoder(
+                        code.frozen, self.list_size))
+                    dec = lambda llr: tuple(
+                        r[0] for r in one(llr[None, :]))
                 self._device_scl_cache[mode.cons_bits] = dec
             cands, pm = dec(jnp.asarray(full, dtype=jnp.float32))
             order = np.argsort(np.asarray(pm), kind="stable")

@@ -22,17 +22,18 @@ def _median_lower(v, count: int):
 
 
 def theil_sen(x, y):
-    """Robust line fit: median pairwise slope + median intercept.
+    """Robust line fit: median slope over disjoint pairs + median
+    intercept (the O(n) Theil-Sen variant: pairs (i, i + n/2)).
 
-    x, y: [cols].  Returns (slope, yint).  Invalid (i >= j) pairs are
-    pushed to +inf so the masked median indexes the valid block.
+    x, y: [cols].  Returns (slope, yint).  The all-pairs variant sorts
+    O(cols^2) slopes — a multi-minute XLA compile and a large runtime
+    sort on TPU for no accuracy the tracking loop can use (an outlier
+    contaminates 1 of n/2 slopes here vs n-1 of n^2/2 there).
     """
     cols = x.shape[-1]
-    dx = x[None, :] - x[:, None]
-    dy = y[None, :] - y[:, None]
-    iu = jnp.triu_indices(cols, k=1)
-    slopes = dy[iu] / dx[iu]
-    slope = _median_lower(slopes, slopes.shape[0])
+    h = cols // 2
+    slopes = (y[h: 2 * h] - y[:h]) / (x[h: 2 * h] - x[:h])
+    slope = _median_lower(slopes, h)
     resid = y - slope * x
     yint = _median_lower(resid, cols)
     return slope, yint
