@@ -29,6 +29,22 @@ def test_loopback_16k_pipeline():
     assert pipe.payload_bytes(res, 0) == payload
 
 
+def test_loopback_44k_pipeline():
+    """Full mixed-radix (7056-point) encode->decode loopback."""
+    cfg = make_config(44100, 13, 2000)
+    enc = Encoder(cfg)
+    rng = np.random.default_rng(44)
+    payload = rng.integers(0, 256, cfg.mode.data_bytes,
+                           dtype=np.uint8).tobytes()
+    wave, _ = enc.encode(payload, B.base37_encode("N0CALL"))
+    sil = np.zeros(cfg.rate // 8, dtype=np.complex64)
+    rec = np.concatenate([sil, wave, sil])[None, :]
+    pipe = BatchPipeline(44100, 13)
+    res = pipe.decode_batch(rec)
+    assert bool(np.asarray(res["ok"])[0])
+    assert pipe.payload_bytes(res, 0) == payload
+
+
 @pytest.mark.parametrize("rate,fft_len", [(44100, 7056), (48000, 7680)])
 def test_encoder_high_rates_spectrum(rate, fft_len):
     cfg = make_config(rate, 13, 2000)
