@@ -37,13 +37,20 @@ def main():
                 for _ in range(batch)]
     sil = np.zeros(cfg.rate // 4, dtype=np.complex64)
     recs = []
-    for p in payloads:
+    t0 = time.time()
+    for i, p in enumerate(payloads):
         wave, _ = enc.encode(p, B.base37_encode("N0CALL"))
         recs.append(np.concatenate([sil, wave, sil]))
+        print(f"# encoded {i + 1}/{batch} ({time.time() - t0:.0f} s)",
+              file=sys.stderr, flush=True)
     recs = np.stack(recs)
 
     pipe = BatchPipeline(8000, 6)
+    t0 = time.time()
+    print("# compiling batched decode...", file=sys.stderr, flush=True)
     res = pipe.decode_batch(recs)              # compile
+    print(f"# decode compile+first: {time.time() - t0:.0f} s",
+          file=sys.stderr, flush=True)
     ok = np.asarray(res["ok"])
     exact = sum(pipe.payload_bytes(res, i) == payloads[i]
                 for i in range(batch))

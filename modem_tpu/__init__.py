@@ -2,18 +2,6 @@
 
 import os as _os
 
-# Honor JAX_PLATFORMS even when a sitecustomize imported jax at
-# interpreter start and pinned the platform before env vars were read
-# (the axon TPU plugin does this).
-if "JAX_PLATFORMS" in _os.environ:
-    try:
-        import jax as _jax
-
-        _jax.config.update("jax_platforms",
-                           _os.environ["JAX_PLATFORMS"])
-    except Exception:  # pragma: no cover - best-effort override
-        pass
-
 # The SCL schedule VM compiles slowly (20k-instruction scan); persist
 # compiled executables across processes.
 if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:

@@ -52,6 +52,29 @@ def sharded_decode(pipe: BatchPipeline, mesh: Mesh):
     return jax.jit(fn)
 
 
+def sharded_decode_batched(pipe: BatchPipeline, mesh: Mesh,
+                           per_chip: int):
+    """Throughput fast path sharded over the 'dp' mesh axis.
+
+    Each chip runs the whole-batch decoder (batched SCL VM / Pallas
+    kernel) on its `per_chip` recordings; decoded payload bits are
+    all-gathered over ICI.  Returns a jitted fn: recordings
+    [mesh_size * per_chip, T, 2] -> result dict."""
+    run = pipe.batched_run_fn(per_chip)
+
+    def local(recs):
+        out = run(recs)
+        bits = jax.lax.all_gather(out["bits"], "dp", tiled=True)
+        return {"bits": bits, "ok": out["ok"], "flips": out["flips"]}
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=P("dp"),
+        out_specs={"bits": P(), "ok": P("dp"), "flips": P("dp")},
+        check_vma=False)
+    return jax.jit(fn)
+
+
 # ---------------------------------------------------------------------------
 # Toy end-to-end configuration (tiny shapes, real pipeline code paths)
 # ---------------------------------------------------------------------------

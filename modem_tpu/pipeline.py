@@ -34,9 +34,15 @@ class BatchPipeline:
 
     def __init__(self, rate: int, oper_mode: int, list_size: int = 8,
                  mode_spec=None, symbol_len_override=None,
-                 scl_backend: str = "auto"):
+                 scl_backend: str = "auto", frames_per_cell: int = 0):
         """scl_backend: 'pallas' (VMEM-resident kernel, TPU only),
-        'xla' (lax.scan VM), or 'auto' (pallas on TPU, xla elsewhere)."""
+        'xla' (lax.scan VM), or 'auto' (pallas on TPU, xla elsewhere).
+
+        frames_per_cell: frames decoded together per Pallas grid cell
+        (P = F*list lanes share one schedule pass; the per-op cost is
+        latency-dominated, so wider tiles amortize it).  0 = auto: the
+        largest F with P <= 64 whose scratch fits VMEM and which
+        divides the batch."""
         mode = mode_spec if mode_spec is not None else MODES[oper_mode]
         self.cfg = ModemConfig(rate=rate, mode=mode, freq_off=0,
                                symbol_len_override=symbol_len_override)
@@ -52,16 +58,43 @@ class BatchPipeline:
             scl_backend = ("pallas" if jax.default_backend()
                            not in ("cpu",) else "xla")
         self.scl_backend = scl_backend
+        self.frames_per_cell = frames_per_cell
         self._decode_batch = jax.jit(jax.vmap(self._decode_one))
         self._batched_cache: dict[int, object] = {}
+
+    def _auto_frames_per_cell(self, batch: int) -> int:
+        """Largest F dividing batch whose Pallas scratch fits VMEM."""
+        from .fec.scl_vm import CHUNK, build_schedule
+        sched = build_schedule(
+            np.asarray(self.code.frozen, dtype=np.uint8).tobytes())
+        rows = sched.sz_llr // CHUNK + sched.sz_beta // CHUNK
+        budget = 100 * 2 ** 20          # scratch + io blocks < 112 MiB
+        best = 1
+        for F in (2, 4, 8, 16):
+            P = F * self.list_size
+            scratch = rows * P * CHUNK * 4
+            io = F * (sched.code_len * 4 * (self.list_size + 1))
+            if batch % F == 0 and P <= 128 and scratch + io <= budget:
+                best = F
+        return best
 
     def _batched_fn(self, batch: int):
         """Whole-batch decode with the batched SCL backend (fast path)."""
         if batch in self._batched_cache:
             return self._batched_cache[batch]
+        fn = jax.jit(self.batched_run_fn(batch))
+        self._batched_cache[batch] = fn
+        return fn
+
+    def batched_run_fn(self, batch: int):
+        """Unjitted whole-batch decode fn (for shard_map composition)."""
         if self.scl_backend == "pallas":
             from .kernels.scl_pallas import make_pallas_decoder
-            scl = make_pallas_decoder(self.code.frozen, self.list_size)
+            F = self.frames_per_cell
+            if F <= 0:
+                F = self._auto_frames_per_cell(batch)
+            scl = make_pallas_decoder(self.code.frozen, self.list_size,
+                                      frames_per_cell=F)
         else:
             scl = make_batch_decoder(self.code.frozen, batch,
                                      self.list_size)
@@ -89,9 +122,7 @@ class BatchPipeline:
                         cfo_rad=front["cfo_rad"], snr=front["snr"],
                         flips=flips, sync_gate=front["sync_gate"])
 
-        fn = jax.jit(run)
-        self._batched_cache[batch] = fn
-        return fn
+        return run
 
     # -- single recording, fully traced ------------------------------------
     def _sync_argmax(self, x):
