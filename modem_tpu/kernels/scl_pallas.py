@@ -44,13 +44,18 @@ BIG = 3.0e38
 
 def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                         frames_per_cell: int = 1,
-                        interpret: bool = False, ops_override=None):
+                        interpret: bool = False, ops_override=None,
+                        beta_bf16: bool = True):
     """Compile the Pallas SCL decoder for one frozen mask.
 
     Returns fn: llrs [batch, code_len] f32 -> (codewords [batch, L,
     code_len] uint8, pm [batch, L] f32); batch must be a multiple of
     frames_per_cell.  ops_override replaces the instruction table
     (profiling aid).
+
+    beta_bf16 stores the partial-sum buffer as bfloat16 — exact, since
+    betas are only {-1, 0, +1} — halving the largest VMEM scratch so
+    more frames fit per cell.
     """
     sched = build_schedule(np.asarray(frozen, dtype=np.uint8).tobytes())
     if ops_override is not None:
@@ -60,6 +65,7 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
     L = list_size
     F = frames_per_cell
     P = F * L
+    beta_dt = jnp.bfloat16 if beta_bf16 else jnp.float32
     n = sched.code_len
     n_rows = -(-n // CHUNK)
     llr_rows = sched.sz_llr // CHUNK
@@ -83,34 +89,59 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
         """perm [P, 1] flat lanes -> M [P, P]: (M @ mat)[p] = mat[perm[p]]."""
         return (iota2((P, P), 1) == perm_col).astype(jnp.float32)
 
-    def select_l_smallest(cand):
-        """cand [F, 2L] -> (perm_flat [P,1], flip [P,1], pm [1,P]).
+    def make_select_l_smallest():
+        """Returns select(keep_row [1,P], delta_col [P,1]) -> (perm
+        [P,1] global source lanes, flip [P,1], pm [1,P]).
 
-        Per-frame iterative min-extraction: L rounds, each taking every
-        frame's current minimum (ties to the lowest index, like top_k).
+        Per-frame iterative min-extraction over the 2P keep/flip
+        candidates, flat in lane space: per-frame segmentation is a
+        masked min over a broadcast [F, 2P] view, and [F,1] -> [P,1]
+        frame-to-lane expansion is a one-hot [P, F] matmul.  No lane-
+        crossing reshapes — Mosaic only supports reshapes/transposes
+        that keep the minor dim or swap a size-1 dim, so the [F, 2L]
+        layout the XLA VM uses is unavailable here.  Tie-breaking
+        matches lax.top_k (lowest candidate index wins; keeps order
+        before flips within a frame).
         """
-        idx2 = iota2((F, 2 * L), 1)
-        frame_off = iota2((F, L), 0) * L
+        pos = iota2((F, 2 * P), 1)
+        pframe = (pos % P) // L          # frame of each candidate slot
+        fidx = iota2((F, 2 * P), 0)
+        lane_frame = iota2((P, F), 0) // L
+        fsel = (iota2((P, F), 1) == lane_frame).astype(jnp.float32)
+        lidx = iota2((P, 1), 0) % L
 
-        def body(k, carry):
-            cand, perm, flip, pm = carry
-            m = jnp.min(cand, axis=1, keepdims=True)           # [F, 1]
-            at = jnp.min(jnp.where(cand == m, idx2, 2 * L),
-                         axis=1, keepdims=True)                # [F, 1]
-            sel = iota2((F, L), 1) == k
-            perm = jnp.where(sel, at % L, perm)
-            flip = jnp.where(sel, jnp.where(at >= L, 1, 0), flip)
-            pm = jnp.where(sel, m, pm)
-            cand = jnp.where(idx2 == at, BIG, cand)
-            return cand, perm, flip, pm
+        def select(keep_row, delta_col):
+            cand = jnp.concatenate([keep_row, keep_row + delta_col.T],
+                                   axis=1)               # [1, 2P]
+            candF = jnp.where(pframe == fidx,
+                              jnp.broadcast_to(cand, (F, 2 * P)), BIG)
 
-        zero_i = jnp.zeros((F, L), jnp.int32)
-        zero_f = jnp.zeros((F, L), jnp.float32)
-        _, perm, flip, pm = jax.lax.fori_loop(
-            0, L, body, (cand, zero_i, zero_i, zero_f))
-        perm_flat = jnp.reshape(perm + frame_off, (P, 1))
-        return perm_flat, jnp.reshape(flip, (P, 1)), \
-            jnp.reshape(pm, (1, P))
+            def body(k, carry):
+                candF, perm, flip, pmc = carry
+                m = jnp.min(candF, axis=1, keepdims=True)     # [F, 1]
+                at = jnp.min(jnp.where(candF == m, pos, 2 * P),
+                             axis=1, keepdims=True)           # [F, 1]
+                at_p = jnp.round(jnp.dot(
+                    fsel, at.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)).astype(
+                        jnp.int32)                            # [P, 1]
+                m_p = jnp.dot(fsel, m,
+                              preferred_element_type=jnp.float32)
+                sel = lidx == k
+                perm = jnp.where(sel, at_p % P, perm)
+                flip = jnp.where(sel, jnp.where(at_p >= P, 1, 0),
+                                 flip)
+                pmc = jnp.where(sel, m_p, pmc)
+                candF = jnp.where(pos == at, BIG, candF)
+                return candF, perm, flip, pmc
+
+            zero_i = jnp.zeros((P, 1), jnp.int32)
+            zero_f = jnp.zeros((P, 1), jnp.float32)
+            _, perm, flip, pmc = jax.lax.fori_loop(
+                0, L, body, (candF, zero_i, zero_i, zero_f))
+            return perm, flip, pmc.T
+
+        return select
 
     def kernel(ops_ref, llr_in_ref, cw_ref, pm_ref, llr_s, beta_s,
                refs_s, pm_s):
@@ -130,8 +161,11 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
         # ---- helpers --------------------------------------------------
         def read_with(perm_col, buf, brow):
             m = perm_matrix(perm_col)
-            return jnp.dot(m, buf[brow],
+            return jnp.dot(m, buf[brow].astype(jnp.float32),
                            preferred_element_type=jnp.float32)
+
+        def bput(brow, val):
+            beta_s[brow] = val.astype(beta_dt)
 
         def read_llr(d, brow):
             return read_with(refs_s[pl.ds(d, 1), :P].T, llr_s, brow)
@@ -162,19 +196,12 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
         def pm_row():
             return pm_s[0:1, :P]                        # [1, P]
 
-        def pm_frames():
-            return jnp.reshape(pm_s[0:1, :P], (F, L))
-
         def pm_put(row):
             pm_s[0:1, :] = jnp.concatenate(
                 [row, jnp.full((1, 128 - P), BIG, jnp.float32)],
                 axis=1)
 
-        def cand_of(delta_col):
-            """keep/flip candidates [F, 2L] from a [P, 1] flip cost."""
-            keep = pm_frames()
-            flip = keep + jnp.reshape(delta_col, (F, L))
-            return jnp.concatenate([keep, flip], axis=1)
+        select_l = make_select_l_smallest()
 
         # ---- schedule interpreter ------------------------------------
         def body(i, _):
@@ -203,8 +230,8 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
             def do_combine(_):
                 bl = read_beta(ops_ref[i, C_SIDR], ops_ref[i, C_BSRC])
                 br = read_beta(ops_ref[i, C_SIDR2], ops_ref[i, C_BSRC2])
-                beta_s[ops_ref[i, C_BDST]] = bl * br
-                beta_s[ops_ref[i, C_DST]] = br
+                bput(ops_ref[i, C_BDST], bl * br)
+                bput(ops_ref[i, C_DST], br)
                 reset_ref(depths + ops_ref[i, C_SIDW], last)
                 return 0
 
@@ -215,8 +242,8 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                               jnp.maximum(-a, 0.0), 0.0),
                     axis=1, keepdims=True)              # [P, 1]
                 pm_put(pm_row() + pen.T)
-                beta_s[ops_ref[i, C_BDST]] = jnp.ones((P, CHUNK),
-                                                      jnp.float32)
+                bput(ops_ref[i, C_BDST], jnp.ones((P, CHUNK),
+                                                  jnp.float32))
                 reset_ref(depths + ops_ref[i, C_SIDW], last)
                 return 0
 
@@ -227,12 +254,11 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                              axis=1, keepdims=True)      # [P, 1]
                 m1 = jnp.sum(jnp.where(m, jnp.maximum(a, 0.0), 0.0),
                              axis=1, keepdims=True)
-                pm_put(pm_row() + m0.T)
-                perm, flip, pm2 = select_l_smallest(cand_of(m1 - m0))
+                perm, flip, pm2 = select_l(pm_row() + m0.T, m1 - m0)
                 sign = jnp.where(flip > 0, -1.0, 1.0).astype(
                     jnp.float32)                         # [P, 1]
-                beta_s[ops_ref[i, C_BDST]] = jnp.broadcast_to(
-                    sign, (P, CHUNK))
+                bput(ops_ref[i, C_BDST],
+                     jnp.broadcast_to(sign, (P, CHUNK)))
                 permute_refs(perm)
                 pm_put(pm2)
                 reset_ref(depths + ops_ref[i, C_SIDW], last)
@@ -266,8 +292,7 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                     v = jnp.min(mag, axis=1, keepdims=True)  # [P, 1]
                     at = jnp.min(jnp.where(mag == v, iota, CHUNK),
                                  axis=1, keepdims=True)      # [P, 1]
-                    pm_put(pm)
-                    perm, flip, pm2 = select_l_smallest(cand_of(v))
+                    perm, flip, pm2 = select_l(pm, v)
                     pmat = perm_matrix(perm)
                     b_local = jnp.dot(pmat, b_local,
                                       preferred_element_type=jnp.float32)
@@ -286,7 +311,7 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
 
                 _, b_local, pm2 = jax.lax.fori_loop(
                     0, T_RATE1, round_body, (mag0, b0, pm0))
-                beta_s[ops_ref[i, C_BDST]] = b_local
+                bput(ops_ref[i, C_BDST], b_local)
                 pm_put(pm2)
                 reset_ref(depths + ops_ref[i, C_SIDW], last)
                 return 0
@@ -315,8 +340,7 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                     delta = jnp.where(odd, vr - vals[:, 0:1],
                                       vr + vals[:, 0:1])
                     delta = jnp.where(switched > 0, BIG, delta)
-                    pm_put(pm2)
-                    perm, flip, pm2 = select_l_smallest(cand_of(delta))
+                    perm, flip, pm2 = select_l(pm2, delta)
                     pmat = perm_matrix(perm)
                     b = jnp.dot(pmat, b,
                                 preferred_element_type=jnp.float32)
@@ -338,7 +362,7 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                             (iota == idxs[:, r:r + 1]))
                     b = jnp.where(pair & (flip > 0), -b, b)
                     switched = switched | flip
-                beta_s[ops_ref[i, C_BDST]] = b
+                bput(ops_ref[i, C_BDST], b)
                 pm_put(pm2)
                 reset_ref(depths + ops_ref[i, C_SIDW], last)
                 return 0
@@ -389,8 +413,8 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                 left = bl * br
                 right = shr(br, width)
                 mask = chunk_mask(width)
-                beta_s[ops_ref[i, C_BDST]] = jnp.where(mask, left,
-                                                       right)
+                bput(ops_ref[i, C_BDST], jnp.where(mask, left,
+                                                   right))
                 reset_ref(depths + ops_ref[i, C_SIDW], last)
                 return 0
 
@@ -403,9 +427,10 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
 
         # ---- emit outputs --------------------------------------------
         for r in range(n_rows):
+            # f32 compare: Mosaic on v5e rejects bf16 vector cmpf
             blk = jnp.reshape(beta_s[out_row0 + r], (F, L, CHUNK))
             cw_ref[0, :, :, r * CHUNK:(r + 1) * CHUNK] = (
-                blk < 0.0).astype(jnp.int32)
+                blk.astype(jnp.float32) < 0.0).astype(jnp.int32)
         pm_ref[0, 0:1, :] = pm_s[0:1, :]
 
     n_pad = n_rows * CHUNK
@@ -441,7 +466,7 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
             ],
             scratch_shapes=[
                 pltpu.VMEM((llr_rows, P, CHUNK), jnp.float32),
-                pltpu.VMEM((beta_rows, P, CHUNK), jnp.float32),
+                pltpu.VMEM((beta_rows, P, CHUNK), beta_dt),
                 pltpu.VMEM((3 * depths, 128), jnp.int32),
                 pltpu.VMEM((1, 128), jnp.float32),
             ],

@@ -67,14 +67,14 @@ class BatchPipeline:
         from .fec.scl_vm import CHUNK, build_schedule
         sched = build_schedule(
             np.asarray(self.code.frozen, dtype=np.uint8).tobytes())
-        rows = sched.sz_llr // CHUNK + sched.sz_beta // CHUNK
+        per_lane = sched.sz_llr * 4 + sched.sz_beta * 2  # f32 llr, bf16 beta
         budget = 100 * 2 ** 20          # scratch + io blocks < 112 MiB
         best = 1
         for F in (2, 4, 8, 16):
             P = F * self.list_size
-            scratch = rows * P * CHUNK * 4
             io = F * (sched.code_len * 4 * (self.list_size + 1))
-            if batch % F == 0 and P <= 128 and scratch + io <= budget:
+            if batch % F == 0 and P <= 128 and \
+                    per_lane * P + io <= budget:
                 best = F
         return best
 
@@ -195,16 +195,72 @@ class BatchPipeline:
                     p0=p0, cfo_rad=cfo, snr=snr, flips=flips,
                     sync_gate=front["sync_gate"])
 
+    # -- staged fast path: two jits (front-end, SCL+select) -----------------
+    # One whole-batch jit is the lowest-dispatch-overhead design, but its
+    # XLA graph is large and any change to either half recompiles both
+    # (remote compiles cost tens of minutes on this backend).  The staged
+    # variant splits at the natural seam — channel LLRs — so the demod
+    # front-end and the SCL/CRC back-end compile (and cache) separately
+    # at the cost of one extra dispatch per batch.
+    def _staged_fns(self, batch: int):
+        key = ("staged", batch)
+        if key in self._batched_cache:
+            return self._batched_cache[key]
+        if self.scl_backend == "pallas":
+            from .kernels.scl_pallas import make_pallas_decoder
+            F = self.frames_per_cell
+            if F <= 0:
+                F = self._auto_frames_per_cell(batch)
+            scl = make_pallas_decoder(self.code.frozen, self.list_size,
+                                      frames_per_cell=F)
+        else:
+            scl = make_batch_decoder(self.code.frozen, batch,
+                                     self.list_size)
+        mode = self.cfg.mode
+
+        front_fn = jax.jit(lambda recs: jax.vmap(self._demod_one)(recs))
+
+        def back(front):
+            codewords, pm = scl(front["llrs"])
+            info = codewords[
+                ..., jnp.asarray(self.code.info_idx[: mode.crc_bits])]
+            rem = jnp.mod(jnp.dot(info.astype(jnp.float32),
+                                  jnp.asarray(self.crc_mat),
+                                  preferred_element_type=jnp.float32),
+                          2.0)
+            crc_ok = jnp.sum(rem, axis=-1) == 0
+            pm_sel = jnp.where(crc_ok, pm, jnp.inf)
+            best = jnp.argmin(pm_sel, axis=-1)
+            bits = jnp.take_along_axis(
+                info, best[:, None, None], axis=1)[:, 0, : mode.data_bits]
+            received = front["llrs"][
+                :, jnp.asarray(self.code.info_idx[: mode.data_bits])] < 0
+            flips = jnp.sum(received != bits.astype(bool), axis=-1)
+            return dict(ok=jnp.any(crc_ok, axis=-1),
+                        bits=bits.astype(jnp.uint8), p0=front["p0"],
+                        cfo_rad=front["cfo_rad"], snr=front["snr"],
+                        flips=flips, sync_gate=front["sync_gate"])
+
+        fns = (front_fn, jax.jit(back))
+        self._batched_cache[key] = fns
+        return fns
+
     # -- public ------------------------------------------------------------
-    def decode_batch(self, recordings, flat_lane: bool = True):
+    def decode_batch(self, recordings, flat_lane: bool = True,
+                     staged: bool = False):
         """recordings: [B, T] complex np or [B, T, 2] -> result dict.
 
         flat_lane=True uses the [SZ, batch*list] SCL layout (fast path);
-        False falls back to the vmapped single-frame decoder.
+        False falls back to the vmapped single-frame decoder.  staged=True
+        splits the batch decode into two jits (front-end / FEC) that
+        compile separately.
         """
         if np.iscomplexobj(recordings):
             recordings = cplx.from_np(recordings)
         recordings = jnp.asarray(recordings)
+        if staged:
+            front_fn, back_fn = self._staged_fns(recordings.shape[0])
+            return back_fn(front_fn(recordings))
         if flat_lane:
             return self._batched_fn(recordings.shape[0])(recordings)
         return self._decode_batch(recordings)

@@ -35,19 +35,61 @@ from . import cplx, fft, ofdm
 from .numerology import ModemConfig
 
 
+_BLK = 512
+
+
 def window_sum(x, w: int):
     """y[n] = sum(x[n-w+1 .. n]), same length as x.
 
-    Uses lax.reduce_window (per-window tree reduction): the error is
-    O(eps * w * |local values|) regardless of recording length, unlike
-    a cumulative-sum difference whose cancellation grows with the
-    running total (JAX runs f32 by default — jnp.float64 is silently
-    demoted — so the cumsum trick would drift on minutes-long
-    recordings; the reference's recursive SMA has no such drift).
+    Two-level block decomposition with NO long carries: within-block
+    inclusive prefix sums via one lower-triangular [512, 512] matmul
+    (MXU), plus at most ceil(w/512)+1 shift-adds of the block totals.
+    Each output is a sum of O(w/512) partials, so the rounding error is
+    O(eps * w * |local values|) regardless of recording length — the
+    same guarantee as the reference's drift-free recursive SMA
+    (decode.cc:45-47) and as lax.reduce_window, which this replaces:
+    reduce_window's TPU lowering took tens of MINUTES of XLA compile
+    time at these window sizes (measured 0.8 s vs >600 s for w=1280
+    over 88k samples), with identical numerics.
+
+    A cumulative-sum difference would be simpler but its cancellation
+    error grows with the running total over minutes-long recordings
+    (JAX is f32 here — jnp.float64 silently demotes).
     """
-    return jax.lax.reduce_window(
-        x, 0.0, jax.lax.add, window_dimensions=(w,),
-        window_strides=(1,), padding=((w - 1, 0),))
+    t = x.shape[-1]
+    nb = -(-t // _BLK)
+    q, r = divmod(w, _BLK)
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, nb * _BLK - t)])
+    blocks = xp.reshape(*x.shape[:-1], nb, _BLK)
+    tri = jnp.asarray(np.tril(np.ones((_BLK, _BLK), np.float32)))
+    pref = jnp.matmul(blocks, tri.T,
+                      precision=jax.lax.Precision.HIGHEST)
+    totals = pref[..., -1]                       # [.., nb]
+
+    def shift_right(a, k, axis=-1):
+        k = min(k, a.shape[axis])       # all-zero when shifted out
+        if k == 0:
+            return a
+        pad = [(0, 0)] * a.ndim
+        pad[axis] = (k, 0)
+        sl = [slice(None)] * a.ndim
+        sl[axis] = slice(0, a.shape[axis] - k)
+        return jnp.pad(a[tuple(sl)], pad)
+
+    # sum of the q (resp. q+1) block totals preceding each block
+    s_q = jnp.zeros_like(totals)
+    for k in range(1, q + 1):
+        s_q = s_q + shift_right(totals, k)
+    s_q1 = s_q + shift_right(totals, q + 1)
+
+    pref_flat = pref.reshape(*x.shape[:-1], nb * _BLK)
+    c_shift = shift_right(pref_flat, w)          # pref_flat[n - w]
+    j = np.arange(nb * _BLK) % _BLK
+    use_q1 = jnp.asarray(j < r) if r else jnp.zeros(nb * _BLK, bool)
+    base = jnp.where(use_q1, jnp.repeat(s_q1, _BLK, axis=-1),
+                     jnp.repeat(s_q, _BLK, axis=-1))
+    y = pref_flat - c_shift + base
+    return y[..., :t]
 
 
 def schmitt_falling(timing, lo: float, hi: float):

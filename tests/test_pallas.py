@@ -25,7 +25,7 @@ def toy_llrs():
     return cw, llrs
 
 
-@pytest.mark.parametrize("frames_per_cell", [1, 2])
+@pytest.mark.parametrize("frames_per_cell", [1, 2, 4])
 def test_pallas_matches_xla_vm(toy_llrs, frames_per_cell):
     cw, llrs = toy_llrs
     ref = jax.jit(jax.vmap(make_decoder(TOY.frozen, 8)))

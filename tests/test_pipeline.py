@@ -26,6 +26,15 @@ def test_toy_batch_pipeline(toy_batch):
     assert np.asarray(res["flips"]).max() == 0
 
 
+def test_toy_staged_matches_whole(toy_batch):
+    recs, payloads = toy_batch
+    pipe = toy_pipeline()
+    res = pipe.decode_batch(recs, staged=True)
+    assert np.asarray(res["ok"]).all()
+    for i, want in enumerate(payloads):
+        assert pipe.payload_bytes(res, i) == want
+
+
 def test_toy_sharded_decode(toy_batch):
     if len(jax.devices()) < 4:
         pytest.skip("needs >= 4 virtual devices")
