@@ -81,6 +81,29 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
     # in-block shift-matmul variants, opcodes 7..9
     sub = ops16[:, C_SUB] > 0
     ops16[sub, C_OP] += 7
+    # Depth-0 F/G read the channel LLRs, which are identical across the
+    # L list lanes of a frame (and lane forks never cross frames, so
+    # permuting them is a no-op): they dispatch to opcodes 10/11 reading
+    # a [F, *] shared buffer instead of the [P, *] tree scratch — saving
+    # (L-1)/L of the largest LLR region's VMEM.  Only enabled when the
+    # code spans whole chunks (depth-0 ops are then the plain F/G
+    # opcodes, never the sub-block variants); tiny codes keep the
+    # legacy single-buffer layout.  LLR row indices for depths >= 1
+    # then shift down by the depth-0 region (n_rows); COMBINE's C_DST
+    # is a beta offset and is untouched.
+    split_d0 = n > CHUNK
+    if split_d0:
+        op = ops16[:, C_OP]
+        ops16[(op == 0) & (ops16[:, C_D] == 0), C_OP] = 10
+        ops16[(op == 1) & (ops16[:, C_D] == 0), C_OP] = 11
+        op = ops16[:, C_OP]
+        llr_src = np.isin(op, (0, 1, 3, 4, 5, 6, 7, 8))   # not F0/G0
+        llr_src2 = np.isin(op, (0, 1, 7, 8))
+        llr_dst = np.isin(op, (0, 1, 7, 8, 10, 11))
+        ops16[llr_src, C_SRC] -= n_rows
+        ops16[llr_src2, C_SRC2] -= n_rows
+        ops16[llr_dst, C_DST] -= n_rows
+    tree_rows = llr_rows - n_rows if split_d0 else llr_rows
 
     def iota2(shape, dim):
         return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
@@ -143,15 +166,17 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
 
         return select
 
-    def kernel(ops_ref, llr_in_ref, cw_ref, pm_ref, llr_s, beta_s,
-               refs_s, pm_s):
+    def kernel(ops_ref, llr_in_ref, cw_ref, pm_ref, llr_d0, llr_s,
+               beta_s, refs_s, pm_s):
         # ---- per-cell init -------------------------------------------
         for r in range(n_rows):
             rows = llr_in_ref[0, :, r, :]                  # [F, CHUNK]
-            lanes = jnp.reshape(
-                jnp.broadcast_to(rows[:, None, :], (F, L, CHUNK)),
-                (P, CHUNK))
-            llr_s[r] = lanes
+            if split_d0:
+                llr_d0[r] = rows
+            else:
+                llr_s[r] = jnp.reshape(
+                    jnp.broadcast_to(rows[:, None, :], (F, L, CHUNK)),
+                    (P, CHUNK))
         # identity lane maps: lane p sources itself
         refs_s[:] = jnp.broadcast_to(iota2((1, 128), 1), refs_s.shape)
         # lane l=0 of each frame live; clones die at the first fork
@@ -170,6 +195,15 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
         def read_llr(d, brow):
             return read_with(refs_s[pl.ds(d, 1), :P].T, llr_s, brow)
 
+        def read_d0(brow):
+            """Channel LLR chunk, shared per frame, broadcast to lanes
+            (no permute: within-frame lane permutations are no-ops on
+            identical rows, and forks never cross frames)."""
+            rows = llr_d0[brow]                            # [F, CHUNK]
+            return jnp.reshape(
+                jnp.broadcast_to(rows[:, None, :], (F, L, CHUNK)),
+                (P, CHUNK))
+
         def read_beta(sid, brow):
             return read_with(refs_s[pl.ds(depths + sid, 1), :P].T,
                              beta_s, brow)
@@ -182,8 +216,11 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
         def permute_refs(perm_col):
             """refs[:, p] <- refs[:, perm[p]] (identity beyond lane P)
             via one [*, 128] x [128, 128] one-hot matmul."""
-            perm128 = jnp.concatenate(
-                [perm_col, iota2((128 - P, 1), 0) + P], axis=0)
+            if P == 128:
+                perm128 = perm_col
+            else:
+                perm128 = jnp.concatenate(
+                    [perm_col, iota2((128 - P, 1), 0) + P], axis=0)
             s128 = (iota2((128, 128), 0) == perm128.T).astype(
                 jnp.float32)
             out = jnp.dot(refs_s[:].astype(jnp.float32), s128,
@@ -197,9 +234,12 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
             return pm_s[0:1, :P]                        # [1, P]
 
         def pm_put(row):
-            pm_s[0:1, :] = jnp.concatenate(
-                [row, jnp.full((1, 128 - P), BIG, jnp.float32)],
-                axis=1)
+            if P == 128:
+                pm_s[0:1, :] = row
+            else:
+                pm_s[0:1, :] = jnp.concatenate(
+                    [row, jnp.full((1, 128 - P), BIG, jnp.float32)],
+                    axis=1)
 
         select_l = make_select_l_smallest()
 
@@ -418,19 +458,38 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                 reset_ref(depths + ops_ref[i, C_SIDW], last)
                 return 0
 
+            # depth-0 variants: read the shared channel-LLR buffer
+            def do_f0(_):
+                a = read_d0(ops_ref[i, C_SRC])
+                b = read_d0(ops_ref[i, C_SRC2])
+                llr_s[ops_ref[i, C_DST]] = (
+                    jnp.sign(a) * jnp.sign(b)
+                    * jnp.minimum(jnp.abs(a), jnp.abs(b)))
+                reset_ref(d + 1, last)
+                return 0
+
+            def do_g0(_):
+                a = read_d0(ops_ref[i, C_SRC])
+                b = read_d0(ops_ref[i, C_SRC2])
+                bl = read_beta(ops_ref[i, C_SIDR], ops_ref[i, C_BSRC])
+                llr_s[ops_ref[i, C_DST]] = b + bl * a
+                reset_ref(d + 1, last)
+                return 0
+
             jax.lax.switch(op, [do_f, do_g, do_combine, do_rate0,
                                 do_rep, do_rate1, do_spc, do_f_s,
-                                do_g_s, do_combine_s], 0)
+                                do_g_s, do_combine_s, do_f0, do_g0], 0)
             return 0
 
         jax.lax.fori_loop(0, sched.n_ops, body, 0)
 
         # ---- emit outputs --------------------------------------------
         for r in range(n_rows):
-            # f32 compare: Mosaic on v5e rejects bf16 vector cmpf
+            # f32 compare: Mosaic on v5e rejects bf16 vector cmpf.
+            # int8 output quarters the HBM block vs int32.
             blk = jnp.reshape(beta_s[out_row0 + r], (F, L, CHUNK))
             cw_ref[0, :, :, r * CHUNK:(r + 1) * CHUNK] = (
-                blk.astype(jnp.float32) < 0.0).astype(jnp.int32)
+                blk.astype(jnp.float32) < 0.0).astype(jnp.int8)
         pm_ref[0, 0:1, :] = pm_s[0:1, :]
 
     n_pad = n_rows * CHUNK
@@ -461,11 +520,13 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((cells, F, L, n_pad), jnp.int32),
+                jax.ShapeDtypeStruct((cells, F, L, n_pad), jnp.int8),
                 jax.ShapeDtypeStruct((cells, 1, 128), jnp.float32),
             ],
             scratch_shapes=[
-                pltpu.VMEM((llr_rows, P, CHUNK), jnp.float32),
+                pltpu.VMEM((n_rows if split_d0 else 1, F, CHUNK),
+                           jnp.float32),
+                pltpu.VMEM((tree_rows, P, CHUNK), jnp.float32),
                 pltpu.VMEM((beta_rows, P, CHUNK), beta_dt),
                 pltpu.VMEM((3 * depths, 128), jnp.int32),
                 pltpu.VMEM((1, 128), jnp.float32),

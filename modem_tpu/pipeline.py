@@ -67,12 +67,15 @@ class BatchPipeline:
         from .fec.scl_vm import CHUNK, build_schedule
         sched = build_schedule(
             np.asarray(self.code.frozen, dtype=np.uint8).tobytes())
-        per_lane = sched.sz_llr * 4 + sched.sz_beta * 2  # f32 llr, bf16 beta
-        budget = 100 * 2 ** 20          # scratch + io blocks < 112 MiB
+        split = sched.code_len > CHUNK  # depth-0 LLRs shared per frame
+        d0 = sched.code_len if split else 0
+        per_lane = (sched.sz_llr - d0) * 4 + sched.sz_beta * 2
+        budget = 106 * 2 ** 20          # scratch + io blocks < 112 MiB
         best = 1
         for F in (2, 4, 8, 16):
             P = F * self.list_size
-            io = F * (sched.code_len * 4 * (self.list_size + 1))
+            # llr_d0 + input block (f32) + int8 codeword output
+            io = F * sched.code_len * (8 + self.list_size)
             if batch % F == 0 and P <= 128 and \
                     per_lane * P + io <= budget:
                 best = F

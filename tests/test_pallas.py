@@ -39,3 +39,27 @@ def test_pallas_matches_xla_vm(toy_llrs, frames_per_cell):
         assert (np.sort(cws_r[b], axis=0) ==
                 np.sort(cws_p[b], axis=0)).all()
         assert (cws_p[b] == cw).all(axis=1).any()
+
+
+def test_pallas_split_d0_chunked_code():
+    """Codes wider than one chunk route depth-0 F/G through the shared
+    per-frame channel-LLR buffer (opcodes 10/11); parity vs the VM."""
+    big = PolarCode(n=960, k=480, order=10)     # code_len 1024 > CHUNK
+    rng = np.random.default_rng(7)
+    m = rng.integers(0, 2, big.mesg_bits, dtype=np.uint8)
+    m[big.k:] = 0
+    cw = big.encode_systematic_np(m)
+    tx = 1.0 - 2.0 * big.shorten_np(cw).astype(np.float64)
+    llrs = np.stack([
+        big.lengthen_np(2 * (tx + 0.4 * rng.standard_normal(big.n))
+                        / 0.16) for _ in range(2)]).astype(np.float32)
+    ref = jax.jit(jax.vmap(make_decoder(big.frozen, 8)))
+    cws_r, pm_r = (np.asarray(v) for v in ref(jnp.asarray(llrs)))
+    pal = make_pallas_decoder(big.frozen, 8, frames_per_cell=2,
+                              interpret=True)
+    cws_p, pm_p = (np.asarray(v) for v in pal(jnp.asarray(llrs)))
+    assert np.allclose(np.sort(pm_r, axis=1), np.sort(pm_p, axis=1))
+    for b in range(llrs.shape[0]):
+        assert (np.sort(cws_r[b], axis=0) ==
+                np.sort(cws_p[b], axis=0)).all()
+        assert (cws_p[b] == cw).all(axis=1).any()
