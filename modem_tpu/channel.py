@@ -48,15 +48,30 @@ def cfo(x: np.ndarray, hz: float, rate: int) -> np.ndarray:
     return np.asarray(x) * np.exp(2j * np.pi * hz * n / rate)
 
 
-def sfo(x: np.ndarray, ppm: float) -> np.ndarray:
-    """Resample by 1 + ppm*1e-6 (receiver clock running fast/slow)."""
+def sfo(x: np.ndarray, ppm: float, taps: int = 32) -> np.ndarray:
+    """Resample by 1 + ppm*1e-6 (receiver clock running fast/slow).
+
+    Kaiser-windowed-sinc fractional-delay interpolation: the modem band
+    reaches ~0.42 fs at 8 kHz, where linear interpolation alone injects
+    ~10 dB of distortion (measured — it capped the whole decode chain at
+    ~9 dB effective Es/N0, failing frames the real sound-card chain
+    recovers).  A 32-tap sinc keeps interpolation error ~60 dB down.
+    """
     factor = 1.0 + ppm * 1e-6
+    x = np.asarray(x, dtype=np.complex128)
     t = np.arange(int(len(x) / factor)) * factor
-    i0 = np.floor(t).astype(int)
-    i1 = np.minimum(i0 + 1, len(x) - 1)
+    i0 = np.floor(t).astype(np.int64)
     frac = t - i0
-    x = np.asarray(x)
-    return x[i0] * (1 - frac) + x[i1] * frac
+    half = taps // 2
+    xp = np.pad(x, (half, half))
+    beta = 8.6
+    out = np.zeros(len(t), dtype=np.complex128)
+    win_arg = lambda u: np.clip(1.0 - (u / half) ** 2, 0.0, None)
+    for k in range(-half + 1, half + 1):
+        u = frac - k
+        w = np.sinc(u) * np.i0(beta * np.sqrt(win_arg(u))) / np.i0(beta)
+        out += w * xp[i0 + k + half]
+    return out
 
 
 def awgn(x: np.ndarray, db: float, rng=None) -> np.ndarray:
