@@ -131,7 +131,19 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
         fidx = iota2((F, 2 * P), 0)
         lane_frame = iota2((P, F), 0) // L
         fsel = (iota2((P, F), 1) == lane_frame).astype(jnp.float32)
-        lidx = iota2((P, 1), 0) % L
+        lsel = (iota2((L, P), 1) % L == iota2((L, P), 0)).astype(
+            jnp.float32)
+        eye_p = (iota2((P, P), 0) == iota2((P, P), 1)).astype(
+            jnp.float32)
+        ksel = iota2((F, L), 1)
+
+        def to_lane(v):
+            """[F, L] per-(frame, round) values -> [P, 1] per lane:
+            out[p] = v[f(p), l(p)] = diag(FSEL @ v @ LSEL)[p]."""
+            a = jnp.dot(fsel, jnp.dot(v, lsel,
+                                      preferred_element_type=jnp.float32),
+                        preferred_element_type=jnp.float32)   # [P, P]
+            return jnp.sum(a * eye_p, axis=1, keepdims=True)
 
         def select(keep_row, delta_col):
             cand = jnp.concatenate([keep_row, keep_row + delta_col.T],
@@ -140,29 +152,24 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                               jnp.broadcast_to(cand, (F, 2 * P)), BIG)
 
             def body(k, carry):
-                candF, perm, flip, pmc = carry
+                candF, at_all, m_all = carry
                 m = jnp.min(candF, axis=1, keepdims=True)     # [F, 1]
                 at = jnp.min(jnp.where(candF == m, pos, 2 * P),
                              axis=1, keepdims=True)           # [F, 1]
-                at_p = jnp.round(jnp.dot(
-                    fsel, at.astype(jnp.float32),
-                    preferred_element_type=jnp.float32)).astype(
-                        jnp.int32)                            # [P, 1]
-                m_p = jnp.dot(fsel, m,
-                              preferred_element_type=jnp.float32)
-                sel = lidx == k
-                perm = jnp.where(sel, at_p % P, perm)
-                flip = jnp.where(sel, jnp.where(at_p >= P, 1, 0),
-                                 flip)
-                pmc = jnp.where(sel, m_p, pmc)
+                sel = ksel == k
+                at_all = jnp.where(sel, at.astype(jnp.float32),
+                                   at_all)                    # [F, L]
+                m_all = jnp.where(sel, m, m_all)
                 candF = jnp.where(pos == at, BIG, candF)
-                return candF, perm, flip, pmc
+                return candF, at_all, m_all
 
-            zero_i = jnp.zeros((P, 1), jnp.int32)
-            zero_f = jnp.zeros((P, 1), jnp.float32)
-            _, perm, flip, pmc = jax.lax.fori_loop(
-                0, L, body, (candF, zero_i, zero_i, zero_f))
-            return perm, flip, pmc.T
+            zero_f = jnp.zeros((F, L), jnp.float32)
+            _, at_all, m_all = jax.lax.fori_loop(
+                0, L, body, (candF, zero_f, zero_f))
+            at_p = jnp.round(to_lane(at_all)).astype(jnp.int32)
+            perm = at_p % P
+            flip = jnp.where(at_p >= P, 1, 0)
+            return perm, flip, to_lane(m_all).T
 
         return select
 
