@@ -4,8 +4,10 @@ Executes the same static instruction schedule as fec/scl_vm.py (see its
 docstring for the algorithm) entirely inside one kernel invocation with
 VMEM-resident state:
 
+  * channel LLRs [rows, F, 512] f32   — shared per frame (lanes hold
+    identical copies; forks never cross frames)
   * LLR tree   [rows, F*L, 512] f32   — VMEM scratch
-  * beta slots [rows, F*L, 512] f32   — VMEM scratch
+  * beta slots [rows, F*L, 512] bf16  — exact: betas are {-1, 0, +1}
   * lane indirections / path metrics  — small VMEM tiles
 
 so the ~10k sequential micro-steps never touch HBM (the XLA scan
