@@ -153,6 +153,8 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
             candF = jnp.where(pframe == fidx,
                               jnp.broadcast_to(cand, (F, 2 * P)), BIG)
 
+            # fori (not unrolled): static unrolling saved only ~2.5%
+            # runtime but grew the kernel compile 4 s -> 54 s
             def body(k, carry):
                 candF, at_all, m_all = carry
                 m = jnp.min(candF, axis=1, keepdims=True)     # [F, 1]
@@ -418,19 +420,20 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
 
             # In-block variants for internal nodes with half width h <
             # chunk: the second half sits h lanes in, which is not
-            # block-aligned — realign with dynamic shift matmuls
-            # (SH_l[c, j] = (c == j+h) shifts left by h).
+            # block-aligned — realign with dynamic lane rotates
+            # (pltpu.roll handles a traced shift; masking zeroes the
+            # wrapped-around lanes so semantics match a zero-filled
+            # shift).  These were [P,512]x[512,512] one-hot matmuls
+            # (~33 M MAC each, ~6.5k ops per schedule) before.
             def shl(mat, h):
-                c = iota2((CHUNK, CHUNK), 0)
-                j = iota2((CHUNK, CHUNK), 1)
-                return jnp.dot(mat, (c == j + h).astype(jnp.float32),
-                               preferred_element_type=jnp.float32)
+                rolled = pltpu.roll(mat, -h, 1)
+                return jnp.where(iota2((P, CHUNK), 1) < CHUNK - h,
+                                 rolled, 0.0)
 
             def shr(mat, h):
-                c = iota2((CHUNK, CHUNK), 0)
-                j = iota2((CHUNK, CHUNK), 1)
-                return jnp.dot(mat, (j == c + h).astype(jnp.float32),
-                               preferred_element_type=jnp.float32)
+                rolled = pltpu.roll(mat, h, 1)
+                return jnp.where(iota2((P, CHUNK), 1) >= h, rolled,
+                                 0.0)
 
             def clean(mat, cols):
                 """Zero columns >= cols: garbage (NaN on interpret)
