@@ -6,23 +6,26 @@ VMEM-resident state:
 
   * channel LLRs [rows, F, 512] f32   — shared per frame (lanes hold
     identical copies; forks never cross frames)
-  * LLR tree   [rows, F*L, 512] f32   — VMEM scratch
-  * beta slots [rows, F*L, 512] bf16  — exact: betas are {-1, 0, +1}
+  * LLR tree / beta slots, two tiers:
+      tier 1 (node width > 128): [*, F*L, 512] tiles
+      tier 2 (node width <= 128): [*, F*L, 128] tiles — most schedule
+      ops live deep in the tree at widths 4..128, where a 512-wide
+      tile wastes 4-64x of every vector instruction
   * lane indirections / path metrics  — small VMEM tiles
 
 so the ~10k sequential micro-steps never touch HBM (the XLA scan
 version streams ~MBs of chunk state per step).  F frames decode
 together per grid cell, sharing one schedule pass — the per-op cost is
-latency-dominated, so wider tiles are nearly free.  Every schedule
-offset is a multiple of the 512 chunk (buffers are addressed by block
-row); lane permutations (list forks) are one-hot matmuls; top-k
-selections are short iterative min-extractions (sorts and gathers both
-lower poorly on the VPU).
+latency-dominated, so wider lane tiles are nearly free.  Lane
+permutations (list forks) are one-hot matmuls; top-k selections are
+short iterative min-extractions (sorts and gathers both lower poorly
+on the VPU); sub-block realignments are dynamic lane rotates.
 
 Mosaic constraints honoured throughout: every vector value is rank-2
 (per-path scalars are [P, 1] columns or [1, P] rows — rank-1 arrays
-crash the layout inferer), dim insertions happen on 32-bit types only,
-and no scatter/gather primitives are used.
+crash the layout inferer), no lane-crossing reshapes (masked
+broadcasts + one-hot matmuls instead), no bf16 vector compares, and no
+scatter/gather primitives.
 
 NOTE: pallas_call must be invoked under jax.jit on this backend — an
 eager call re-dispatches through the remote-compile relay every time
@@ -42,6 +45,14 @@ from ..fec.scl_vm import (C_BDST, C_BSRC, C_BSRC2, C_D, C_DST, C_LAST,
                           C_SUB, C_WIDTH, CHUNK, T_RATE1, build_schedule)
 
 BIG = 3.0e38
+CHUNK2 = 128      # tier-2 tile width (node width <= 128)
+
+# switch table indices
+(OPX_F, OPX_G, OPX_C, OPX_RATE0, OPX_REP, OPX_RATE1, OPX_SPC,
+ OPX_F_S, OPX_G_S, OPX_C_S, OPX_F0, OPX_G0,
+ OPX_F_B, OPX_G_B, OPX_C_B,
+ OPX_F2, OPX_G2, OPX_C2, OPX_RATE0_2, OPX_REP_2, OPX_RATE1_2,
+ OPX_SPC_2) = range(22)
 
 
 def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
@@ -53,11 +64,11 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
     Returns fn: llrs [batch, code_len] f32 -> (codewords [batch, L,
     code_len] uint8, pm [batch, L] f32); batch must be a multiple of
     frames_per_cell.  ops_override replaces the instruction table
-    (profiling aid).
+    (profiling aid; raw build_schedule format).
 
-    beta_bf16 stores the partial-sum buffer as bfloat16 — exact, since
-    betas are only {-1, 0, +1} — halving the largest VMEM scratch so
-    more frames fit per cell.
+    beta_bf16 stores the partial-sum buffers as bfloat16 — exact, since
+    betas are only {-1, 0, +1} — halving that scratch so more frames
+    fit per cell.
     """
     sched = build_schedule(np.asarray(frozen, dtype=np.uint8).tobytes())
     if ops_override is not None:
@@ -70,42 +81,104 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
     beta_dt = jnp.bfloat16 if beta_bf16 else jnp.float32
     n = sched.code_len
     n_rows = -(-n // CHUNK)
-    llr_rows = sched.sz_llr // CHUNK
-    beta_rows = sched.sz_beta // CHUNK
     depths = sched.n_depths
-    out_row0 = sched.out_off // CHUNK
-
-    ops16 = np.zeros((sched.n_ops, 16), dtype=np.int32)
-    ops16[:, : sched.ops.shape[1]] = sched.ops
-    for col in (C_SRC, C_SRC2, C_DST, C_BSRC, C_BSRC2, C_BDST):
-        ops16[:, col] //= CHUNK
-    # sub-block F/G/COMBINE (half width < chunk) dispatch to the
-    # in-block shift-matmul variants, opcodes 7..9
-    sub = ops16[:, C_SUB] > 0
-    ops16[sub, C_OP] += 7
-    # Depth-0 F/G read the channel LLRs, which are identical across the
-    # L list lanes of a frame (and lane forks never cross frames, so
-    # permuting them is a no-op): they dispatch to opcodes 10/11 reading
-    # a [F, *] shared buffer instead of the [P, *] tree scratch — saving
-    # (L-1)/L of the largest LLR region's VMEM.  Only enabled when the
-    # code spans whole chunks (depth-0 ops are then the plain F/G
-    # opcodes, never the sub-block variants); tiny codes keep the
-    # legacy single-buffer layout.  LLR row indices for depths >= 1
-    # then shift down by the depth-0 region (n_rows); COMBINE's C_DST
-    # is a beta offset and is untouched.
     split_d0 = n > CHUNK
-    if split_d0:
-        op = ops16[:, C_OP]
-        ops16[(op == 0) & (ops16[:, C_D] == 0), C_OP] = 10
-        ops16[(op == 1) & (ops16[:, C_D] == 0), C_OP] = 11
-        op = ops16[:, C_OP]
-        llr_src = np.isin(op, (0, 1, 3, 4, 5, 6, 7, 8))   # not F0/G0
-        llr_src2 = np.isin(op, (0, 1, 7, 8))
-        llr_dst = np.isin(op, (0, 1, 7, 8, 10, 11))
-        ops16[llr_src, C_SRC] -= n_rows
-        ops16[llr_src2, C_SRC2] -= n_rows
-        ops16[llr_dst, C_DST] -= n_rows
-    tree_rows = llr_rows - n_rows if split_d0 else llr_rows
+    d0_shift = n_rows if split_d0 else 0
+
+    # region tables (same allocation rule as build_schedule)
+    lofs, pos = [], 0
+    for d in range(depths):
+        lofs.append(pos)
+        pos += max(n >> d, CHUNK)
+    bslot = np.zeros((depths, 2), dtype=np.int64)
+    pos = 0
+    for d in range(depths):
+        alloc = max(n >> d, CHUNK)
+        bslot[d, 0] = pos
+        bslot[d, 1] = pos + (alloc if d > 0 else 0)
+        pos += (2 * alloc) if d > 0 else alloc
+
+    # ---- two-tier split: depths with node width <= 128 run on
+    # [P, 128] tiles.  D2 = first tier-2 depth.
+    D2 = max(0, (depths - 1) - 7)
+    use_t2 = D2 >= 1 and D2 < depths
+    if use_t2:
+        t1_llr_rows = lofs[D2] // CHUNK - d0_shift
+        t1_beta_rows = int(bslot[D2, 0]) // CHUNK
+        llr2_rows = depths - D2
+        beta2_rows = 2 * (depths - D2)
+    else:
+        t1_llr_rows = sched.sz_llr // CHUNK - d0_shift
+        t1_beta_rows = sched.sz_beta // CHUNK
+        llr2_rows = beta2_rows = 1        # dummy scratch
+    out_row0 = sched.out_off // CHUNK     # root slot: always tier 1
+
+    # ---- instruction retargeting (host-side, from raw element
+    # offsets).  Output column semantics:
+    #   C_SRC/C_SRC2/C_DST  : llr row in the op's tier (llr_d0 rows for
+    #                         F0/G0, tier-1 rows for *_B sources)
+    #   C_BSRC/C_BSRC2/C_BDST: beta row in the op's tier (tier-1 row
+    #                         for C_B's destination)
+    raw = sched.ops
+    ops16 = np.zeros((sched.n_ops, 16), dtype=np.int32)
+    ops16[:, : raw.shape[1]] = raw
+    for i in range(sched.n_ops):
+        opc = int(raw[i, C_OP])
+        d = int(raw[i, C_D])
+        nw = n >> d                        # node width at this depth
+        r = ops16[i]
+        if opc in (0, 1):                  # F / G (write depth d+1)
+            if use_t2 and nw <= CHUNK2:
+                r[C_OP] = OPX_F2 if opc == 0 else OPX_G2
+                r[C_SRC] = d - D2
+                r[C_DST] = d + 1 - D2
+                if opc == 1:
+                    r[C_BSRC] = r[C_SIDR] - 2 * D2
+            elif use_t2 and nw == 2 * CHUNK2:
+                r[C_OP] = OPX_F_B if opc == 0 else OPX_G_B
+                r[C_SRC] = raw[i, C_SRC] // CHUNK - d0_shift
+                r[C_DST] = d + 1 - D2
+                if opc == 1:
+                    r[C_BSRC] = r[C_SIDR] - 2 * D2
+            else:
+                sub = int(raw[i, C_SUB]) > 0
+                if split_d0 and d == 0:
+                    r[C_OP] = OPX_F0 if opc == 0 else OPX_G0
+                    r[C_SRC] = raw[i, C_SRC] // CHUNK
+                    r[C_SRC2] = raw[i, C_SRC2] // CHUNK
+                else:
+                    r[C_OP] = (OPX_F_S if opc == 0 else OPX_G_S) \
+                        if sub else (OPX_F if opc == 0 else OPX_G)
+                    r[C_SRC] = raw[i, C_SRC] // CHUNK - d0_shift
+                    r[C_SRC2] = raw[i, C_SRC2] // CHUNK - d0_shift
+                r[C_DST] = raw[i, C_DST] // CHUNK - d0_shift
+                r[C_BSRC] = raw[i, C_BSRC] // CHUNK
+        elif opc == 2:                     # COMBINE (own slot depth d)
+            if use_t2 and nw <= CHUNK2:
+                r[C_OP] = OPX_C2
+                r[C_BSRC] = r[C_SIDR] - 2 * D2
+                r[C_BSRC2] = r[C_SIDR2] - 2 * D2
+                r[C_BDST] = r[C_SIDW] - 2 * D2
+            elif use_t2 and nw == 2 * CHUNK2:
+                r[C_OP] = OPX_C_B
+                r[C_BSRC] = r[C_SIDR] - 2 * D2
+                r[C_BSRC2] = r[C_SIDR2] - 2 * D2
+                r[C_BDST] = raw[i, C_BDST] // CHUNK
+            else:
+                r[C_OP] = OPX_C_S if int(raw[i, C_SUB]) > 0 else OPX_C
+                r[C_BSRC] = raw[i, C_BSRC] // CHUNK
+                r[C_BSRC2] = raw[i, C_BSRC2] // CHUNK
+                r[C_BDST] = raw[i, C_BDST] // CHUNK
+                r[C_DST] = raw[i, C_DST] // CHUNK
+        else:                              # leaves 3..6
+            if use_t2 and nw <= CHUNK2:
+                r[C_OP] = opc + 15         # RATE0_2 .. SPC_2
+                r[C_SRC] = d - D2
+                r[C_BDST] = r[C_SIDW] - 2 * D2
+            else:
+                r[C_OP] = opc + 0 if opc >= 3 else opc
+                r[C_SRC] = raw[i, C_SRC] // CHUNK - d0_shift
+                r[C_BDST] = raw[i, C_BDST] // CHUNK
 
     def iota2(shape, dim):
         return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
@@ -120,13 +193,12 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
 
         Per-frame iterative min-extraction over the 2P keep/flip
         candidates, flat in lane space: per-frame segmentation is a
-        masked min over a broadcast [F, 2P] view, and [F,1] -> [P,1]
-        frame-to-lane expansion is a one-hot [P, F] matmul.  No lane-
-        crossing reshapes — Mosaic only supports reshapes/transposes
-        that keep the minor dim or swap a size-1 dim, so the [F, 2L]
-        layout the XLA VM uses is unavailable here.  Tie-breaking
-        matches lax.top_k (lowest candidate index wins; keeps order
-        before flips within a frame).
+        masked min over a broadcast [F, 2P] view, round results
+        accumulate in [F, L] and map to lanes ONCE at the end via
+        diag(FSEL @ v @ LSEL) — no lane-crossing reshapes (Mosaic only
+        supports reshapes/transposes that keep the minor dim or swap a
+        size-1 dim).  Tie-breaking matches lax.top_k (lowest candidate
+        index wins; keeps order before flips within a frame).
         """
         pos = iota2((F, 2 * P), 1)
         pframe = (pos % P) // L          # frame of each candidate slot
@@ -178,7 +250,7 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
         return select
 
     def kernel(ops_ref, llr_in_ref, cw_ref, pm_ref, llr_d0, llr_s,
-               beta_s, refs_s, pm_s):
+               beta_s, llr2_s, beta2_s, refs_s, pm_s):
         # ---- per-cell init -------------------------------------------
         for r in range(n_rows):
             rows = llr_in_ref[0, :, r, :]                  # [F, CHUNK]
@@ -200,11 +272,11 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
             return jnp.dot(m, buf[brow].astype(jnp.float32),
                            preferred_element_type=jnp.float32)
 
-        def bput(brow, val):
-            beta_s[brow] = val.astype(beta_dt)
-
         def read_llr(d, brow):
             return read_with(refs_s[pl.ds(d, 1), :P].T, llr_s, brow)
+
+        def read_llr2(d, brow):
+            return read_with(refs_s[pl.ds(d, 1), :P].T, llr2_s, brow)
 
         def read_d0(brow):
             """Channel LLR chunk, shared per frame, broadcast to lanes
@@ -218,6 +290,22 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
         def read_beta(sid, brow):
             return read_with(refs_s[pl.ds(depths + sid, 1), :P].T,
                              beta_s, brow)
+
+        def read_beta2(sid, brow):
+            return read_with(refs_s[pl.ds(depths + sid, 1), :P].T,
+                             beta2_s, brow)
+
+        def put_llr(brow, val):
+            llr_s[brow] = val
+
+        def put_llr2(brow, val):
+            llr2_s[brow] = val
+
+        def put_beta(brow, val):
+            beta_s[brow] = val.astype(beta_dt)
+
+        def put_beta2(brow, val):
+            beta2_s[brow] = val.astype(beta_dt)
 
         def reset_ref(idx, last):
             @pl.when(last > 0)
@@ -237,9 +325,6 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
             out = jnp.dot(refs_s[:].astype(jnp.float32), s128,
                           preferred_element_type=jnp.float32)
             refs_s[:] = jnp.round(out).astype(jnp.int32)
-
-        def chunk_mask(width):
-            return iota2((P, CHUNK), 1) < width
 
         def pm_row():
             return pm_s[0:1, :P]                        # [1, P]
@@ -261,12 +346,15 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
             width = ops_ref[i, C_WIDTH]
             last = ops_ref[i, C_LAST]
 
+            def f_of(a, b):
+                return (jnp.sign(a) * jnp.sign(b)
+                        * jnp.minimum(jnp.abs(a), jnp.abs(b)))
+
+            # ---- tier-1 full-width internal ops ----------------------
             def do_f(_):
                 a = read_llr(d, ops_ref[i, C_SRC])
                 b = read_llr(d, ops_ref[i, C_SRC2])
-                llr_s[ops_ref[i, C_DST]] = (
-                    jnp.sign(a) * jnp.sign(b)
-                    * jnp.minimum(jnp.abs(a), jnp.abs(b)))
+                put_llr(ops_ref[i, C_DST], f_of(a, b))
                 reset_ref(d + 1, last)
                 return 0
 
@@ -274,209 +362,23 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                 a = read_llr(d, ops_ref[i, C_SRC])
                 b = read_llr(d, ops_ref[i, C_SRC2])
                 bl = read_beta(ops_ref[i, C_SIDR], ops_ref[i, C_BSRC])
-                llr_s[ops_ref[i, C_DST]] = b + bl * a
+                put_llr(ops_ref[i, C_DST], b + bl * a)
                 reset_ref(d + 1, last)
                 return 0
 
             def do_combine(_):
                 bl = read_beta(ops_ref[i, C_SIDR], ops_ref[i, C_BSRC])
                 br = read_beta(ops_ref[i, C_SIDR2], ops_ref[i, C_BSRC2])
-                bput(ops_ref[i, C_BDST], bl * br)
-                bput(ops_ref[i, C_DST], br)
+                put_beta(ops_ref[i, C_BDST], bl * br)
+                put_beta(ops_ref[i, C_DST], br)
                 reset_ref(depths + ops_ref[i, C_SIDW], last)
                 return 0
 
-            def do_rate0(_):
-                a = read_llr(d, ops_ref[i, C_SRC])
-                pen = jnp.sum(
-                    jnp.where(chunk_mask(width),
-                              jnp.maximum(-a, 0.0), 0.0),
-                    axis=1, keepdims=True)              # [P, 1]
-                pm_put(pm_row() + pen.T)
-                bput(ops_ref[i, C_BDST], jnp.ones((P, CHUNK),
-                                                  jnp.float32))
-                reset_ref(depths + ops_ref[i, C_SIDW], last)
-                return 0
-
-            def do_rep(_):
-                a = read_llr(d, ops_ref[i, C_SRC])
-                m = chunk_mask(width)
-                m0 = jnp.sum(jnp.where(m, jnp.maximum(-a, 0.0), 0.0),
-                             axis=1, keepdims=True)      # [P, 1]
-                m1 = jnp.sum(jnp.where(m, jnp.maximum(a, 0.0), 0.0),
-                             axis=1, keepdims=True)
-                perm, flip, pm2 = select_l(pm_row() + m0.T, m1 - m0)
-                sign = jnp.where(flip > 0, -1.0, 1.0).astype(
-                    jnp.float32)                         # [P, 1]
-                bput(ops_ref[i, C_BDST],
-                     jnp.broadcast_to(sign, (P, CHUNK)))
-                permute_refs(perm)
-                pm_put(pm2)
-                reset_ref(depths + ops_ref[i, C_SIDW], last)
-                return 0
-
-            def least_reliable(mag, iota):
-                """T smallest |llr| per lane: ([P, T] vals, [P, T] idx)."""
-                vals_l, idxs_l = [], []
-                mag_t = mag
-                for _k in range(T_RATE1):
-                    v = jnp.min(mag_t, axis=1, keepdims=True)
-                    at = jnp.min(jnp.where(mag_t == v, iota, CHUNK),
-                                 axis=1, keepdims=True)
-                    vals_l.append(v)
-                    idxs_l.append(at)
-                    mag_t = jnp.where(iota == at, BIG, mag_t)
-                return (jnp.concatenate(vals_l, axis=1),
-                        jnp.concatenate(idxs_l, axis=1))
-
-            def do_rate1(_):
-                a = read_llr(d, ops_ref[i, C_SRC])
-                valid = chunk_mask(width)
-                mag0 = jnp.where(valid, jnp.abs(a), BIG)
-                b0 = jnp.where(valid, jnp.where(a < 0.0, -1.0, 1.0),
-                               0.0)
-                iota = iota2((P, CHUNK), 1)
-                pm0 = pm_row()
-
-                def round_body(r, carry):
-                    mag, b_local, pm = carry
-                    v = jnp.min(mag, axis=1, keepdims=True)  # [P, 1]
-                    at = jnp.min(jnp.where(mag == v, iota, CHUNK),
-                                 axis=1, keepdims=True)      # [P, 1]
-                    perm, flip, pm2 = select_l(pm, v)
-                    pmat = perm_matrix(perm)
-                    b_local = jnp.dot(pmat, b_local,
-                                      preferred_element_type=jnp.float32)
-                    mag = jnp.dot(pmat, mag,
-                                  preferred_element_type=jnp.float32)
-                    at2 = jnp.round(jnp.dot(
-                        pmat, at.astype(jnp.float32),
-                        preferred_element_type=jnp.float32)).astype(
-                            jnp.int32)                   # [P, 1]
-                    hit = iota == at2
-                    b_local = jnp.where(hit & (flip > 0), -b_local,
-                                        b_local)
-                    mag = jnp.where(hit, BIG, mag)
-                    permute_refs(perm)
-                    return mag, b_local, pm2
-
-                _, b_local, pm2 = jax.lax.fori_loop(
-                    0, T_RATE1, round_body, (mag0, b0, pm0))
-                bput(ops_ref[i, C_BDST], b_local)
-                pm_put(pm2)
-                reset_ref(depths + ops_ref[i, C_SIDW], last)
-                return 0
-
-            def do_spc(_):
-                """Single-parity-check node: parity-fix the hard
-                decisions, fork on exclusive pair flips {i0, ij}."""
-                a = read_llr(d, ops_ref[i, C_SRC])
-                valid = chunk_mask(width)
-                mag = jnp.where(valid, jnp.abs(a), BIG)
-                b = jnp.where(valid, jnp.where(a < 0.0, -1.0, 1.0),
-                              0.0)
-                iota = iota2((P, CHUNK), 1)
-                negs = jnp.sum(jnp.where(b < 0.0, 1, 0), axis=1,
-                               keepdims=True)             # [P, 1]
-                odd = (negs % 2) == 1
-                vals, idxs = least_reliable(mag, iota)
-                v0 = vals[:, 0:1]
-                i0 = idxs[:, 0:1]
-                pm = pm_row() + jnp.where(odd, v0, 0.0).T
-                b = jnp.where((iota == i0) & odd, -b, b)
-                switched = jnp.zeros((P, 1), jnp.int32)
-                pm2 = pm
-                for r in range(1, T_RATE1):
-                    vr = vals[:, r:r + 1]
-                    delta = jnp.where(odd, vr - vals[:, 0:1],
-                                      vr + vals[:, 0:1])
-                    delta = jnp.where(switched > 0, BIG, delta)
-                    perm, flip, pm2 = select_l(pm2, delta)
-                    pmat = perm_matrix(perm)
-                    b = jnp.dot(pmat, b,
-                                preferred_element_type=jnp.float32)
-                    vals = jnp.dot(pmat, vals,
-                                   preferred_element_type=jnp.float32)
-                    idxs = jnp.round(jnp.dot(
-                        pmat, idxs.astype(jnp.float32),
-                        preferred_element_type=jnp.float32)).astype(
-                            jnp.int32)
-                    oddsw = jnp.round(jnp.dot(
-                        pmat, jnp.concatenate(
-                            [jnp.where(odd, 1.0, 0.0),
-                             switched.astype(jnp.float32)], axis=1),
-                        preferred_element_type=jnp.float32))
-                    odd = oddsw[:, 0:1] > 0.5
-                    switched = oddsw[:, 1:2].astype(jnp.int32)
-                    permute_refs(perm)
-                    pair = ((iota == idxs[:, 0:1]) |
-                            (iota == idxs[:, r:r + 1]))
-                    b = jnp.where(pair & (flip > 0), -b, b)
-                    switched = switched | flip
-                bput(ops_ref[i, C_BDST], b)
-                pm_put(pm2)
-                reset_ref(depths + ops_ref[i, C_SIDW], last)
-                return 0
-
-            # In-block variants for internal nodes with half width h <
-            # chunk: the second half sits h lanes in, which is not
-            # block-aligned — realign with dynamic lane rotates
-            # (pltpu.roll handles a traced shift; masking zeroes the
-            # wrapped-around lanes so semantics match a zero-filled
-            # shift).  These were [P,512]x[512,512] one-hot matmuls
-            # (~33 M MAC each, ~6.5k ops per schedule) before.
-            def shl(mat, h):
-                rolled = pltpu.roll(mat, -h, 1)
-                return jnp.where(iota2((P, CHUNK), 1) < CHUNK - h,
-                                 rolled, 0.0)
-
-            def shr(mat, h):
-                rolled = pltpu.roll(mat, h, 1)
-                return jnp.where(iota2((P, CHUNK), 1) >= h, rolled,
-                                 0.0)
-
-            def clean(mat, cols):
-                """Zero columns >= cols: garbage (NaN on interpret)
-                would poison the shift matmul contraction."""
-                return jnp.where(iota2((P, CHUNK), 1) < cols, mat, 0.0)
-
-            def do_f_s(_):
-                blk = clean(read_llr(d, ops_ref[i, C_SRC]), 2 * width)
-                b = shl(blk, width)
-                llr_s[ops_ref[i, C_DST]] = (
-                    jnp.sign(blk) * jnp.sign(b)
-                    * jnp.minimum(jnp.abs(blk), jnp.abs(b)))
-                reset_ref(d + 1, last)
-                return 0
-
-            def do_g_s(_):
-                blk = clean(read_llr(d, ops_ref[i, C_SRC]), 2 * width)
-                b = shl(blk, width)
-                bl = clean(read_beta(ops_ref[i, C_SIDR],
-                                     ops_ref[i, C_BSRC]), width)
-                llr_s[ops_ref[i, C_DST]] = b + bl * blk
-                reset_ref(d + 1, last)
-                return 0
-
-            def do_combine_s(_):
-                bl = read_beta(ops_ref[i, C_SIDR], ops_ref[i, C_BSRC])
-                br = clean(read_beta(ops_ref[i, C_SIDR2],
-                                     ops_ref[i, C_BSRC2]), width)
-                left = bl * br
-                right = shr(br, width)
-                mask = chunk_mask(width)
-                bput(ops_ref[i, C_BDST], jnp.where(mask, left,
-                                                   right))
-                reset_ref(depths + ops_ref[i, C_SIDW], last)
-                return 0
-
-            # depth-0 variants: read the shared channel-LLR buffer
+            # ---- depth-0 variants (shared channel-LLR buffer) --------
             def do_f0(_):
                 a = read_d0(ops_ref[i, C_SRC])
                 b = read_d0(ops_ref[i, C_SRC2])
-                llr_s[ops_ref[i, C_DST]] = (
-                    jnp.sign(a) * jnp.sign(b)
-                    * jnp.minimum(jnp.abs(a), jnp.abs(b)))
+                put_llr(ops_ref[i, C_DST], f_of(a, b))
                 reset_ref(d + 1, last)
                 return 0
 
@@ -484,13 +386,243 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                 a = read_d0(ops_ref[i, C_SRC])
                 b = read_d0(ops_ref[i, C_SRC2])
                 bl = read_beta(ops_ref[i, C_SIDR], ops_ref[i, C_BSRC])
-                llr_s[ops_ref[i, C_DST]] = b + bl * a
+                put_llr(ops_ref[i, C_DST], b + bl * a)
                 reset_ref(d + 1, last)
                 return 0
 
+            # ---- boundary ops (256-wide node -> 128-wide children) ---
+            def do_f_b(_):
+                full = read_llr(d, ops_ref[i, C_SRC])
+                a = full[:, :CHUNK2]
+                b = full[:, CHUNK2: 2 * CHUNK2]
+                put_llr2(ops_ref[i, C_DST], f_of(a, b))
+                reset_ref(d + 1, last)
+                return 0
+
+            def do_g_b(_):
+                full = read_llr(d, ops_ref[i, C_SRC])
+                a = full[:, :CHUNK2]
+                b = full[:, CHUNK2: 2 * CHUNK2]
+                bl = read_beta2(ops_ref[i, C_SIDR], ops_ref[i, C_BSRC])
+                put_llr2(ops_ref[i, C_DST], b + bl * a)
+                reset_ref(d + 1, last)
+                return 0
+
+            def do_c_b(_):
+                bl = read_beta2(ops_ref[i, C_SIDR], ops_ref[i, C_BSRC])
+                br = read_beta2(ops_ref[i, C_SIDR2],
+                                ops_ref[i, C_BSRC2])
+                out = jnp.concatenate(
+                    [bl * br, br,
+                     jnp.zeros((P, CHUNK - 2 * CHUNK2), jnp.float32)],
+                    axis=1)
+                put_beta(ops_ref[i, C_BDST], out)
+                reset_ref(depths + ops_ref[i, C_SIDW], last)
+                return 0
+
+            # ---- width-parameterized bodies ---------------------------
+            def make_tier(CW, rd_llr, rd_beta, wr_llr, wr_beta):
+                def cmask(w):
+                    return iota2((P, CW), 1) < w
+
+                def shl(mat, h):
+                    rolled = pltpu.roll(mat, -h, 1)
+                    return jnp.where(iota2((P, CW), 1) < CW - h,
+                                     rolled, 0.0)
+
+                def shr(mat, h):
+                    rolled = pltpu.roll(mat, h, 1)
+                    return jnp.where(iota2((P, CW), 1) >= h, rolled,
+                                     0.0)
+
+                def clean(mat, cols):
+                    return jnp.where(iota2((P, CW), 1) < cols, mat,
+                                     0.0)
+
+                def t_f_s(_):
+                    blk = clean(rd_llr(d, ops_ref[i, C_SRC]),
+                                2 * width)
+                    wr_llr(ops_ref[i, C_DST], f_of(blk, shl(blk,
+                                                            width)))
+                    reset_ref(d + 1, last)
+                    return 0
+
+                def t_g_s(_):
+                    blk = clean(rd_llr(d, ops_ref[i, C_SRC]),
+                                2 * width)
+                    b = shl(blk, width)
+                    bl = clean(rd_beta(ops_ref[i, C_SIDR],
+                                       ops_ref[i, C_BSRC]), width)
+                    wr_llr(ops_ref[i, C_DST], b + bl * blk)
+                    reset_ref(d + 1, last)
+                    return 0
+
+                def t_c_s(_):
+                    bl = rd_beta(ops_ref[i, C_SIDR],
+                                 ops_ref[i, C_BSRC])
+                    br = clean(rd_beta(ops_ref[i, C_SIDR2],
+                                       ops_ref[i, C_BSRC2]), width)
+                    wr_beta(ops_ref[i, C_BDST],
+                            jnp.where(cmask(width), bl * br,
+                                      shr(br, width)))
+                    reset_ref(depths + ops_ref[i, C_SIDW], last)
+                    return 0
+
+                def t_rate0(_):
+                    a = rd_llr(d, ops_ref[i, C_SRC])
+                    pen = jnp.sum(
+                        jnp.where(cmask(width),
+                                  jnp.maximum(-a, 0.0), 0.0),
+                        axis=1, keepdims=True)          # [P, 1]
+                    pm_put(pm_row() + pen.T)
+                    wr_beta(ops_ref[i, C_BDST],
+                            jnp.ones((P, CW), jnp.float32))
+                    reset_ref(depths + ops_ref[i, C_SIDW], last)
+                    return 0
+
+                def t_rep(_):
+                    a = rd_llr(d, ops_ref[i, C_SRC])
+                    m = cmask(width)
+                    m0 = jnp.sum(jnp.where(m, jnp.maximum(-a, 0.0),
+                                           0.0),
+                                 axis=1, keepdims=True)  # [P, 1]
+                    m1 = jnp.sum(jnp.where(m, jnp.maximum(a, 0.0),
+                                           0.0),
+                                 axis=1, keepdims=True)
+                    perm, flip, pm2 = select_l(pm_row() + m0.T,
+                                               m1 - m0)
+                    sign = jnp.where(flip > 0, -1.0, 1.0).astype(
+                        jnp.float32)                     # [P, 1]
+                    wr_beta(ops_ref[i, C_BDST],
+                            jnp.broadcast_to(sign, (P, CW)))
+                    permute_refs(perm)
+                    pm_put(pm2)
+                    reset_ref(depths + ops_ref[i, C_SIDW], last)
+                    return 0
+
+                def least_reliable(mag, iota):
+                    """T smallest |llr| per lane: [P, T] vals + idx."""
+                    vals_l, idxs_l = [], []
+                    mag_t = mag
+                    for _k in range(T_RATE1):
+                        v = jnp.min(mag_t, axis=1, keepdims=True)
+                        at = jnp.min(jnp.where(mag_t == v, iota, CW),
+                                     axis=1, keepdims=True)
+                        vals_l.append(v)
+                        idxs_l.append(at)
+                        mag_t = jnp.where(iota == at, BIG, mag_t)
+                    return (jnp.concatenate(vals_l, axis=1),
+                            jnp.concatenate(idxs_l, axis=1))
+
+                def t_rate1(_):
+                    a = rd_llr(d, ops_ref[i, C_SRC])
+                    valid = cmask(width)
+                    mag0 = jnp.where(valid, jnp.abs(a), BIG)
+                    b0 = jnp.where(valid,
+                                   jnp.where(a < 0.0, -1.0, 1.0), 0.0)
+                    iota = iota2((P, CW), 1)
+                    pm0 = pm_row()
+
+                    def round_body(r, carry):
+                        mag, b_local, pm = carry
+                        v = jnp.min(mag, axis=1, keepdims=True)
+                        at = jnp.min(jnp.where(mag == v, iota, CW),
+                                     axis=1, keepdims=True)   # [P, 1]
+                        perm, flip, pm2 = select_l(pm, v)
+                        pmat = perm_matrix(perm)
+                        b_local = jnp.dot(
+                            pmat, b_local,
+                            preferred_element_type=jnp.float32)
+                        mag = jnp.dot(
+                            pmat, mag,
+                            preferred_element_type=jnp.float32)
+                        at2 = jnp.round(jnp.dot(
+                            pmat, at.astype(jnp.float32),
+                            preferred_element_type=jnp.float32)
+                        ).astype(jnp.int32)                   # [P, 1]
+                        hit = iota == at2
+                        b_local = jnp.where(hit & (flip > 0),
+                                            -b_local, b_local)
+                        mag = jnp.where(hit, BIG, mag)
+                        permute_refs(perm)
+                        return mag, b_local, pm2
+
+                    _, b_local, pm2 = jax.lax.fori_loop(
+                        0, T_RATE1, round_body, (mag0, b0, pm0))
+                    wr_beta(ops_ref[i, C_BDST], b_local)
+                    pm_put(pm2)
+                    reset_ref(depths + ops_ref[i, C_SIDW], last)
+                    return 0
+
+                def t_spc(_):
+                    """Single-parity-check node: parity-fix the hard
+                    decisions, fork on exclusive pair flips {i0, ij}."""
+                    a = rd_llr(d, ops_ref[i, C_SRC])
+                    valid = cmask(width)
+                    mag = jnp.where(valid, jnp.abs(a), BIG)
+                    b = jnp.where(valid,
+                                  jnp.where(a < 0.0, -1.0, 1.0), 0.0)
+                    iota = iota2((P, CW), 1)
+                    negs = jnp.sum(jnp.where(b < 0.0, 1, 0), axis=1,
+                                   keepdims=True)          # [P, 1]
+                    odd = (negs % 2) == 1
+                    vals, idxs = least_reliable(mag, iota)
+                    v0 = vals[:, 0:1]
+                    i0 = idxs[:, 0:1]
+                    pm = pm_row() + jnp.where(odd, v0, 0.0).T
+                    b = jnp.where((iota == i0) & odd, -b, b)
+                    switched = jnp.zeros((P, 1), jnp.int32)
+                    pm2 = pm
+                    for r in range(1, T_RATE1):
+                        vr = vals[:, r:r + 1]
+                        delta = jnp.where(odd, vr - vals[:, 0:1],
+                                          vr + vals[:, 0:1])
+                        delta = jnp.where(switched > 0, BIG, delta)
+                        perm, flip, pm2 = select_l(pm2, delta)
+                        pmat = perm_matrix(perm)
+                        b = jnp.dot(pmat, b,
+                                    preferred_element_type=jnp.float32)
+                        vals = jnp.dot(
+                            pmat, vals,
+                            preferred_element_type=jnp.float32)
+                        idxs = jnp.round(jnp.dot(
+                            pmat, idxs.astype(jnp.float32),
+                            preferred_element_type=jnp.float32)
+                        ).astype(jnp.int32)
+                        oddsw = jnp.round(jnp.dot(
+                            pmat, jnp.concatenate(
+                                [jnp.where(odd, 1.0, 0.0),
+                                 switched.astype(jnp.float32)],
+                                axis=1),
+                            preferred_element_type=jnp.float32))
+                        odd = oddsw[:, 0:1] > 0.5
+                        switched = oddsw[:, 1:2].astype(jnp.int32)
+                        permute_refs(perm)
+                        pair = ((iota == idxs[:, 0:1]) |
+                                (iota == idxs[:, r:r + 1]))
+                        b = jnp.where(pair & (flip > 0), -b, b)
+                        switched = switched | flip
+                    wr_beta(ops_ref[i, C_BDST], b)
+                    pm_put(pm2)
+                    reset_ref(depths + ops_ref[i, C_SIDW], last)
+                    return 0
+
+                return t_f_s, t_g_s, t_c_s, t_rate0, t_rep, t_rate1, \
+                    t_spc
+
+            (do_f_s, do_g_s, do_c_s, do_rate0, do_rep, do_rate1,
+             do_spc) = make_tier(CHUNK, read_llr, read_beta, put_llr,
+                                 put_beta)
+            (do_f2, do_g2, do_c2, do_rate0_2, do_rep_2, do_rate1_2,
+             do_spc_2) = make_tier(CHUNK2, read_llr2, read_beta2,
+                                   put_llr2, put_beta2)
+
             jax.lax.switch(op, [do_f, do_g, do_combine, do_rate0,
                                 do_rep, do_rate1, do_spc, do_f_s,
-                                do_g_s, do_combine_s, do_f0, do_g0], 0)
+                                do_g_s, do_c_s, do_f0, do_g0,
+                                do_f_b, do_g_b, do_c_b,
+                                do_f2, do_g2, do_c2, do_rate0_2,
+                                do_rep_2, do_rate1_2, do_spc_2], 0)
             return 0
 
         jax.lax.fori_loop(0, sched.n_ops, body, 0)
@@ -538,8 +670,12 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
             scratch_shapes=[
                 pltpu.VMEM((n_rows if split_d0 else 1, F, CHUNK),
                            jnp.float32),
-                pltpu.VMEM((tree_rows, P, CHUNK), jnp.float32),
-                pltpu.VMEM((beta_rows, P, CHUNK), beta_dt),
+                pltpu.VMEM((max(t1_llr_rows, 1), P, CHUNK),
+                           jnp.float32),
+                pltpu.VMEM((max(t1_beta_rows, 1), P, CHUNK), beta_dt),
+                pltpu.VMEM((max(llr2_rows, 1), P, CHUNK2),
+                           jnp.float32),
+                pltpu.VMEM((max(beta2_rows, 1), P, CHUNK2), beta_dt),
                 pltpu.VMEM((3 * depths, 128), jnp.int32),
                 pltpu.VMEM((1, 128), jnp.float32),
             ],
