@@ -21,6 +21,8 @@ sys.path.insert(0, ".")
 
 
 def main():
+    from modem_tpu import apply_env_platform
+    apply_env_platform()
     import jax
 
     from modem_tpu import bits as B
@@ -68,7 +70,7 @@ def main():
     from modem_tpu import cplx
     import jax.numpy as jnp
     staged = [jnp.asarray(cplx.from_np(recs) * np.float32(s))
-              for s in (1.0, 1.01, 0.99)]
+              for s in (1.02, 1.01, 0.99)]
     for s in staged:
         s.block_until_ready()
     t0 = time.time()

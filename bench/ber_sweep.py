@@ -17,6 +17,8 @@ sys.path.insert(0, ".")
 
 
 def main():
+    from modem_tpu import apply_env_platform
+    apply_env_platform()
     from modem_tpu import bits as B
     from modem_tpu import channel
     from modem_tpu.encoder import Encoder

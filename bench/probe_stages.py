@@ -34,6 +34,8 @@ def clock(name, fn, *argsets):
 
 
 def main():
+    from modem_tpu import apply_env_platform
+    apply_env_platform()
     import jax
     import jax.numpy as jnp
 

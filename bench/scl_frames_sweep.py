@@ -17,6 +17,8 @@ sys.path.insert(0, ".")
 
 
 def main():
+    from modem_tpu import apply_env_platform
+    apply_env_platform()
     import jax
     import jax.numpy as jnp
 
@@ -28,7 +30,7 @@ def main():
     code = PolarCode(n=64800, k=43072, order=16)
     rng = np.random.default_rng(0)
     llrs = jnp.asarray(
-        rng.normal(2.0, 1.0, (batch, 64800)).astype(np.float32))
+        rng.normal(2.0, 1.0, (batch, code.code_len)).astype(np.float32))
 
     for F in fs:
         if batch % F:

@@ -10,8 +10,8 @@ Semantics:
   * multipath: FIR with complex taps at integer sample delays, from a
     "delay gain_re gain_im" profile (disorders' file-driven taps).
   * cfo(hz): multiply by e^{j 2 pi f t}.
-  * sfo(ppm): resample by factor (1 + ppm*1e-6) via linear interpolation
-    (a sound-card clock offset).
+  * sfo(ppm): resample by factor (1 + ppm*1e-6) via Kaiser-windowed
+    sinc interpolation (a sound-card clock offset).
   * awgn(db): complex white Gaussian noise at `db` relative to
     full-scale 1.0 (the disorders tool's convention: -30 means noise
     power 10^(-3) per real dimension pair).

@@ -140,19 +140,8 @@ def cmd_freezer(argv: list[str]) -> int:
 
 
 def main(argv=None) -> int:
-    # Honor JAX_PLATFORMS for the CLI even when a sitecustomize imported
-    # jax at interpreter start and pinned the platform (the axon TPU
-    # plugin does this, and also writes JAX_PLATFORMS=axon into the env
-    # when the user left it unset — making this a no-op then).
-    import os
-    if "JAX_PLATFORMS" in os.environ:
-        try:
-            import jax
-
-            jax.config.update("jax_platforms",
-                              os.environ["JAX_PLATFORMS"])
-        except Exception:  # pragma: no cover
-            pass
+    from . import apply_env_platform
+    apply_env_platform()
     argv = sys.argv[1:] if argv is None else argv
     if not argv:
         print("usage: modem_tpu.cli {encode|decode|freezer} ...",

@@ -41,7 +41,7 @@ class BatchPipeline:
         frames_per_cell: frames decoded together per Pallas grid cell
         (P = F*list lanes share one schedule pass; the per-op cost is
         latency-dominated, so wider tiles amortize it).  0 = auto: the
-        largest F with P <= 64 whose scratch fits VMEM and which
+        largest F with P <= 128 whose scratch fits VMEM and which
         divides the batch."""
         mode = mode_spec if mode_spec is not None else MODES[oper_mode]
         self.cfg = ModemConfig(rate=rate, mode=mode, freq_off=0,
@@ -89,41 +89,50 @@ class BatchPipeline:
         self._batched_cache[batch] = fn
         return fn
 
-    def batched_run_fn(self, batch: int):
-        """Unjitted whole-batch decode fn (for shard_map composition)."""
+    def _make_scl(self, batch: int):
+        """Batched SCL decoder for this backend (fast path)."""
         if self.scl_backend == "pallas":
             from .kernels.scl_pallas import make_pallas_decoder
             F = self.frames_per_cell
             if F <= 0:
                 F = self._auto_frames_per_cell(batch)
-            scl = make_pallas_decoder(self.code.frozen, self.list_size,
-                                      frames_per_cell=F)
-        else:
-            scl = make_batch_decoder(self.code.frozen, batch,
-                                     self.list_size)
+            return make_pallas_decoder(self.code.frozen,
+                                       self.list_size,
+                                       frames_per_cell=F)
+        return make_batch_decoder(self.code.frozen, batch,
+                                  self.list_size)
+
+    def _fec_select(self, front, scl):
+        """SCL + CRC32 lane select on a demodulated batch
+        (decode.cc:530-555, batched)."""
         mode = self.cfg.mode
+        codewords, pm = scl(front["llrs"])         # [B, L, code_len]
+        info = codewords[
+            ..., jnp.asarray(self.code.info_idx[: mode.crc_bits])]
+        rem = jnp.mod(jnp.dot(info.astype(jnp.float32),
+                              jnp.asarray(self.crc_mat),
+                              preferred_element_type=jnp.float32),
+                      2.0)
+        crc_ok = jnp.sum(rem, axis=-1) == 0        # [B, L]
+        pm_sel = jnp.where(crc_ok, pm, jnp.inf)
+        best = jnp.argmin(pm_sel, axis=-1)         # [B]
+        bits = jnp.take_along_axis(
+            info, best[:, None, None], axis=1)[:, 0, : mode.data_bits]
+        received = front["llrs"][
+            :, jnp.asarray(self.code.info_idx[: mode.data_bits])] < 0
+        flips = jnp.sum(received != bits.astype(bool), axis=-1)
+        return dict(ok=jnp.any(crc_ok, axis=-1),
+                    bits=bits.astype(jnp.uint8), p0=front["p0"],
+                    cfo_rad=front["cfo_rad"], snr=front["snr"],
+                    flips=flips, sync_gate=front["sync_gate"])
+
+    def batched_run_fn(self, batch: int):
+        """Unjitted whole-batch decode fn (for shard_map composition)."""
+        scl = self._make_scl(batch)
 
         def run(recs):
             front = jax.vmap(self._demod_one)(recs)
-            codewords, pm = scl(front["llrs"])     # [B, L, code_len]
-            info = codewords[
-                ..., jnp.asarray(self.code.info_idx[: mode.crc_bits])]
-            rem = jnp.mod(jnp.dot(info.astype(jnp.float32),
-                                  jnp.asarray(self.crc_mat),
-                                  preferred_element_type=jnp.float32),
-                          2.0)
-            crc_ok = jnp.sum(rem, axis=-1) == 0    # [B, L]
-            pm_sel = jnp.where(crc_ok, pm, jnp.inf)
-            best = jnp.argmin(pm_sel, axis=-1)     # [B]
-            bits = jnp.take_along_axis(
-                info, best[:, None, None], axis=1)[:, 0, : mode.data_bits]
-            received = front["llrs"][
-                :, jnp.asarray(self.code.info_idx[: mode.data_bits])] < 0
-            flips = jnp.sum(received != bits.astype(bool), axis=-1)
-            return dict(ok=jnp.any(crc_ok, axis=-1),
-                        bits=bits.astype(jnp.uint8), p0=front["p0"],
-                        cfo_rad=front["cfo_rad"], snr=front["snr"],
-                        flips=flips, sync_gate=front["sync_gate"])
+            return self._fec_select(front, scl)
 
         return run
 
@@ -209,42 +218,10 @@ class BatchPipeline:
         key = ("staged", batch)
         if key in self._batched_cache:
             return self._batched_cache[key]
-        if self.scl_backend == "pallas":
-            from .kernels.scl_pallas import make_pallas_decoder
-            F = self.frames_per_cell
-            if F <= 0:
-                F = self._auto_frames_per_cell(batch)
-            scl = make_pallas_decoder(self.code.frozen, self.list_size,
-                                      frames_per_cell=F)
-        else:
-            scl = make_batch_decoder(self.code.frozen, batch,
-                                     self.list_size)
-        mode = self.cfg.mode
-
+        scl = self._make_scl(batch)
         front_fn = jax.jit(lambda recs: jax.vmap(self._demod_one)(recs))
-
-        def back(front):
-            codewords, pm = scl(front["llrs"])
-            info = codewords[
-                ..., jnp.asarray(self.code.info_idx[: mode.crc_bits])]
-            rem = jnp.mod(jnp.dot(info.astype(jnp.float32),
-                                  jnp.asarray(self.crc_mat),
-                                  preferred_element_type=jnp.float32),
-                          2.0)
-            crc_ok = jnp.sum(rem, axis=-1) == 0
-            pm_sel = jnp.where(crc_ok, pm, jnp.inf)
-            best = jnp.argmin(pm_sel, axis=-1)
-            bits = jnp.take_along_axis(
-                info, best[:, None, None], axis=1)[:, 0, : mode.data_bits]
-            received = front["llrs"][
-                :, jnp.asarray(self.code.info_idx[: mode.data_bits])] < 0
-            flips = jnp.sum(received != bits.astype(bool), axis=-1)
-            return dict(ok=jnp.any(crc_ok, axis=-1),
-                        bits=bits.astype(jnp.uint8), p0=front["p0"],
-                        cfo_rad=front["cfo_rad"], snr=front["snr"],
-                        flips=flips, sync_gate=front["sync_gate"])
-
-        fns = (front_fn, jax.jit(back))
+        back_fn = jax.jit(lambda front: self._fec_select(front, scl))
+        fns = (front_fn, back_fn)
         self._batched_cache[key] = fns
         return fns
 
