@@ -1,0 +1,65 @@
+"""Sync primitives: window sums, Schmitt trigger, metric shape.
+
+window_sum is load-bearing: it replaced lax.reduce_window (whose TPU
+lowering took >16 min of XLA compile at these window sizes) with a
+two-level block-matmul scheme that must stay numerically drift-free
+(docs/PERFORMANCE.md trap 7).
+"""
+
+import numpy as np
+import pytest
+
+from modem_tpu.numerology import make_config
+from modem_tpu.sync import Synchronizer, schmitt_falling, window_sum
+
+
+@pytest.mark.parametrize("t", [500, 512, 1000, 4096, 88320])
+@pytest.mark.parametrize("w", [21, 161, 512, 640, 1280, 2560])
+def test_window_sum_matches_convolve(t, w):
+    rng = np.random.default_rng(t * 7 + w)
+    x = rng.normal(0, 1, t).astype(np.float32)
+    got = np.asarray(window_sum(x, w))
+    ref = np.convolve(x, np.ones(w), "full")[:t]
+    assert np.abs(got - ref).max() < 2e-3
+
+
+def test_window_sum_drift_free_on_long_positive_signal():
+    """Error must stay bounded by the window, not the running total
+    (the failure mode of a plain cumsum difference in f32)."""
+    t, w = 400_000, 640
+    x = (0.5 + 0.1 * np.sin(np.arange(t) * 0.01)).astype(np.float32)
+    got = np.asarray(window_sum(x, w))
+    ref = np.convolve(x.astype(np.float64), np.ones(w), "full")[:t]
+    rel = np.abs(got[w:] - ref[w:]) / ref[w:]
+    assert rel.max() < 1e-5
+
+
+def test_schmitt_falling_edges():
+    lo, hi = 2.0, 3.0
+    timing = np.array([0, 1, 4, 2.5, 2.5, 1, 0, 5, 1, 4, 4, 0],
+                      dtype=np.float32)
+    state, falling = (np.asarray(v) for v in
+                      schmitt_falling(timing, lo, hi))
+    # state holds through the hysteresis band, drops below lo
+    assert state.tolist() == [0, 0, 1, 1, 1, 0, 0, 1, 0, 1, 1, 0]
+    assert falling.tolist() == [0, 0, 0, 0, 0, 1, 0, 0, 1, 0, 0, 1]
+
+
+def test_metrics_shapes_and_peak_position():
+    cfg = make_config(8000, 6, 2000)
+    sync = Synchronizer(cfg)
+    rng = np.random.default_rng(3)
+    n = cfg.symbol_len
+    # a half-symbol-repeated block embedded in noise peaks the metric
+    t = 6 * n
+    x = 0.01 * rng.normal(0, 1, (t, 2)).astype(np.float32)
+    rep = rng.normal(0, 1, (n // 2, 2)).astype(np.float32)
+    pos = 2 * n
+    x[pos: pos + n // 2] += rep
+    x[pos + n // 2: pos + n] += rep
+    timing, phase = (np.asarray(v) for v in sync._metrics(x))
+    assert timing.shape[0] == t - 2 * sync.L
+    n_max = int(np.argmax(timing))
+    # metrics index v corresponds to a symbol starting at v (payload
+    # half at v + L); the repeated block starts at pos
+    assert abs(n_max - pos) < cfg.guard_len
