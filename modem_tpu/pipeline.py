@@ -248,3 +248,43 @@ class BatchPipeline:
     def payload_bytes(self, result, i: int) -> bytes:
         bits = np.asarray(result["bits"][i])
         return B.scramble(B.bits_to_bytes_le(bits))
+
+    def decode_recording(self, x, max_frames: int = 64):
+        """Find and decode every frame in one long recording.
+
+        The streaming analog of the reference's acquisition loop
+        (decode.cc:390-448) on the serving path: the Schmitt-trigger
+        scan locates preambles host-side, then all frames decode as ONE
+        batched call.  Each frame's window spans
+        [p0 - (s+g), p0 + frame_samples - g) — through its last payload
+        sample and stopping before the NEXT frame's preamble, so the
+        batch path's global timing argmax sees exactly one preamble.
+
+        Returns (result dict from decode_batch, positions [n_frames]).
+        """
+        if np.iscomplexobj(x):
+            x = cplx.from_np(x)
+        x = np.asarray(x, dtype=np.float32)
+        cfg = self.cfg
+        s, g = cfg.symbol_len, cfg.guard_len
+        w = cfg.frame_samples + s          # window length per frame
+        cands = [c for c in self.sync.scan(x, max_candidates=max_frames)
+                 if c.ok]
+        if not cands:
+            return None, np.zeros(0, dtype=np.int64)
+        wins = np.zeros((len(cands), w, 2), dtype=np.float32)
+        pos = np.zeros(len(cands), dtype=np.int64)
+        for i, c in enumerate(cands):
+            lo = c.p0 - (s + g)
+            seg = x[max(lo, 0): max(lo + w, 0)]
+            wins[i, : len(seg)] = seg
+            pos[i] = c.p0
+        # pad the batch so auto frames_per_cell keeps a fast factor
+        pad = (-len(cands)) % min(8, max(1, len(cands)))
+        if pad:
+            wins = np.concatenate([wins, np.zeros(
+                (pad, w, 2), dtype=np.float32)])
+        res = self.decode_batch(wins)
+        if pad:
+            res = {k: v[: len(cands)] for k, v in res.items()}
+        return res, pos

@@ -37,3 +37,18 @@ def test_skip_selects_frame(two_frames):
     assert r1.ok and r1.payload == payloads[1]
     # the second frame's preamble sits one frame later
     assert (r1.symbol_pos - r0.symbol_pos) == cfg.frame_samples
+
+
+def test_decode_recording_batches_all_frames(two_frames):
+    """Serving path: every frame in one recording decodes in a single
+    batched call (pipeline.decode_recording)."""
+    from modem_tpu.pipeline import BatchPipeline
+
+    cfg, payloads, rec = two_frames
+    pipe = BatchPipeline(8000, 6)
+    res, pos = pipe.decode_recording(rec)
+    assert res is not None and len(pos) == 2
+    assert (pos[1] - pos[0]) == cfg.frame_samples
+    assert np.asarray(res["ok"]).all()
+    for i, want in enumerate(payloads):
+        assert pipe.payload_bytes(res, i) == want
