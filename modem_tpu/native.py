@@ -43,6 +43,17 @@ def _load():
     lib.modem_crc_bytes.restype = ctypes.c_uint32
     lib.modem_bytes_to_bits_le.argtypes = [u8p, ctypes.c_int64, u8p]
     lib.modem_bits_to_bytes_le.argtypes = [u8p, ctypes.c_int64, u8p]
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.modem_wav_info.argtypes = [ctypes.c_char_p, i32p, i32p, i32p]
+    lib.modem_wav_info.restype = ctypes.c_int64
+    lib.modem_wav_read.argtypes = [ctypes.c_char_p, f32p,
+                                   ctypes.c_int64]
+    lib.modem_wav_read.restype = ctypes.c_int64
+    lib.modem_wav_write.argtypes = [ctypes.c_char_p, f32p,
+                                    ctypes.c_int64, ctypes.c_int32,
+                                    ctypes.c_int32, ctypes.c_int32]
+    lib.modem_wav_write.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -106,3 +117,37 @@ def bits_to_bytes_le(bits: np.ndarray) -> bytes:
     out = np.zeros((len(src) + 7) // 8, dtype=np.uint8)
     lib.modem_bits_to_bytes_le(_u8(src), len(src), _u8(out))
     return out.tobytes()
+
+
+def wav_read(path: str):
+    """Native RIFF read: (rate, channels, bits, values f32) or None."""
+    import ctypes as ct
+    lib = _load()
+    if lib is None:
+        return None
+    rate = ct.c_int32()
+    channels = ct.c_int32()
+    bits = ct.c_int32()
+    n = lib.modem_wav_info(path.encode(), ct.byref(rate),
+                           ct.byref(channels), ct.byref(bits))
+    if n < 0:
+        return None
+    out = np.zeros(n, dtype=np.float32)
+    got = lib.modem_wav_read(
+        path.encode(), out.ctypes.data_as(ct.POINTER(ct.c_float)), n)
+    if got != n:
+        return None
+    return rate.value, channels.value, bits.value, out
+
+
+def wav_write(path: str, samples: np.ndarray, rate: int,
+              channels: int, bits: int) -> bool:
+    """Native RIFF write of flat interleaved f32 values."""
+    import ctypes as ct
+    lib = _load()
+    if lib is None:
+        return False
+    flat = np.ascontiguousarray(samples, dtype=np.float32).reshape(-1)
+    return lib.modem_wav_write(
+        path.encode(), flat.ctypes.data_as(ct.POINTER(ct.c_float)),
+        len(flat), rate, channels, bits) == 0

@@ -53,7 +53,12 @@ def _dequantize(raw: bytes, bits: int) -> np.ndarray:
 
 def write_wav(path: str, samples: np.ndarray, rate: int, bits: int = 16,
               channels: int = 1) -> None:
-    """samples: [frames] float/complex or [frames, channels] float."""
+    """samples: [frames] float/complex or [frames, channels] float.
+
+    Uses the native C++ codec (native/modem_host.cc) when built — file
+    IO, RIFF framing and quantisation all run without Python in the
+    loop — with this numpy implementation as the fallback.
+    """
     samples = np.asarray(samples)
     if np.iscomplexobj(samples):
         pair = np.stack([samples.real, samples.imag], axis=-1)
@@ -63,6 +68,15 @@ def write_wav(path: str, samples: np.ndarray, rate: int, bits: int = 16,
     if samples.shape[1] < channels:
         samples = np.repeat(samples, channels, axis=1)
     samples = samples[:, :channels].astype(np.float64)
+    import os
+
+    from . import native
+    # native path only for regular files: pipes (-/stdout) stream
+    # through the python writer
+    if (not os.path.exists(path) or os.path.isfile(path)) and \
+            native.wav_write(path, samples.astype(np.float32), rate,
+                             channels, bits):
+        return
     payload = _quantize(samples.reshape(-1), bits)
     block = channels * bits // 8
     hdr = struct.pack(
@@ -75,6 +89,18 @@ def write_wav(path: str, samples: np.ndarray, rate: int, bits: int = 16,
 
 
 def read_wav(path: str) -> WavData:
+    import os
+
+    from . import native
+    # the native reader seeks; stdin/pipes fall through to the
+    # buffered python parser (probing would consume the stream)
+    got = native.wav_read(path) if os.path.isfile(path) else None
+    if got is not None:
+        rate, channels, bits, flat = got
+        frames = len(flat) // channels
+        return WavData(rate=rate, channels=channels, bits=bits,
+                       samples=flat[: frames * channels].reshape(
+                           frames, channels))
     with open(path, "rb") as f:
         blob = f.read()
     if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
