@@ -1,0 +1,62 @@
+"""CLI argv surface: validation errors, freezer output, full loopback.
+
+The CLI mirrors the reference binaries exactly (encode.cc:340,
+decode.cc:562); validation messages and exit codes are part of that
+parity.
+"""
+
+import numpy as np
+import pytest
+
+from modem_tpu.cli import main
+
+
+def test_encode_validation_errors(tmp_path, capsys):
+    inp = tmp_path / "in.dat"
+    inp.write_bytes(bytes(5380))
+    out = str(tmp_path / "o.wav")
+    # unsupported mode (encode.cc:353-356)
+    assert main(["encode", out, "8000", "16", "1", "2000", "5",
+                 "N0CALL", str(inp)]) == 1
+    assert "operation mode" in capsys.readouterr().err
+    # bad callsign characters (encode.cc:357-361)
+    assert main(["encode", out, "8000", "16", "1", "2000", "6",
+                 "a!b", str(inp)]) == 1
+    assert "call sign" in capsys.readouterr().err
+    # unsupported rate (encode.cc:424-440)
+    assert main(["encode", out, "11025", "16", "1", "2000", "6",
+                 "N0CALL", str(inp)]) == 1
+    # frequency offset not in band (encode.cc:389-397)
+    assert main(["encode", out, "8000", "16", "1", "100", "6",
+                 "N0CALL", str(inp)]) == 1
+
+
+def test_decode_rejects_bad_wav(tmp_path):
+    bad = tmp_path / "x.wav"
+    bad.write_bytes(b"RIFF\x00\x00\x00\x00JUNK")
+    with pytest.raises(ValueError):
+        main(["decode", str(tmp_path / "o.dat"), str(bad)])
+
+
+def test_freezer_regenerates_tables(capsys):
+    assert main(["freezer"]) == 0
+    out = capsys.readouterr().out
+    assert "frozen_64512_43072[2048]" in out
+    assert "frozen_64800_43072[2048]" in out
+    # spot-check against the shipped table
+    from modem_tpu.fec.freezer import frozen_mask, mask_to_words
+    words = mask_to_words(frozen_mask(64800, 43072, 16))
+    assert f"0x{words[0]:x}," in out
+
+
+def test_cli_loopback(tmp_path):
+    rng = np.random.default_rng(11)
+    payload = rng.integers(0, 256, 5380, dtype=np.uint8).tobytes()
+    inp = tmp_path / "in.dat"
+    inp.write_bytes(payload)
+    wav = str(tmp_path / "t.wav")
+    dec = tmp_path / "out.dat"
+    assert main(["encode", wav, "8000", "16", "2", "2300", "10",
+                 "AB1CDE", str(inp)]) == 0
+    assert main(["decode", str(dec), wav]) == 0
+    assert dec.read_bytes() == payload

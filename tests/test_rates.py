@@ -63,3 +63,19 @@ def test_encoder_high_rates_spectrum(rate, fft_len):
     assert freqs.min() > 2000 - 900 and freqs.max() < 2000 + 900
     db = 10 * np.log10(papr[papr[:, 0] > 0, 0])
     assert db.max() < 15.0
+
+
+def test_loopback_48k_pipeline():
+    """48 kHz (7680-point) full encode->decode loopback."""
+    cfg = make_config(48000, 10, 2000)
+    enc = Encoder(cfg)
+    rng = np.random.default_rng(48)
+    payload = rng.integers(0, 256, cfg.mode.data_bytes,
+                           dtype=np.uint8).tobytes()
+    wave, _ = enc.encode(payload, B.base37_encode("N0CALL"))
+    sil = np.zeros(cfg.rate // 8, dtype=np.complex64)
+    rec = np.concatenate([sil, wave, sil])[None, :]
+    pipe = BatchPipeline(48000, 10)
+    res = pipe.decode_batch(rec)
+    assert bool(np.asarray(res["ok"])[0])
+    assert pipe.payload_bytes(res, 0) == payload
