@@ -245,9 +245,52 @@ class BatchPipeline:
             return self._batched_fn(recordings.shape[0])(recordings)
         return self._decode_batch(recordings)
 
-    def payload_bytes(self, result, i: int) -> bytes:
-        bits = np.asarray(result["bits"][i])
-        return B.scramble(B.bits_to_bytes_le(bits))
+    def frame_windows(self, x, max_frames: int = 64):
+        """Scan a recording and slice one window per detected frame.
+
+        Each window spans [p0 - (s+g), p0 + frame_samples - g) —
+        through its last payload sample and stopping before the NEXT
+        frame's preamble, so the batch path's global timing argmax sees
+        exactly one preamble.  Returns (windows [n, w, 2], positions)."""
+        if np.iscomplexobj(x):
+            x = cplx.from_np(x)
+        x = np.asarray(x, dtype=np.float32)
+        cfg = self.cfg
+        s, g = cfg.symbol_len, cfg.guard_len
+        w = cfg.frame_samples + s
+        cands = [c for c in self.sync.scan(x, max_candidates=max_frames)
+                 if c.ok]
+        return self.windows_at(x, [c.p0 for c in cands])
+
+    def windows_at(self, x, positions):
+        """Slice one frame window per preamble position (see
+        frame_windows for the geometry)."""
+        if np.iscomplexobj(x):
+            x = cplx.from_np(x)
+        x = np.asarray(x, dtype=np.float32)
+        cfg = self.cfg
+        s, g = cfg.symbol_len, cfg.guard_len
+        w = cfg.frame_samples + s
+        wins = np.zeros((len(positions), w, 2), dtype=np.float32)
+        pos = np.zeros(len(positions), dtype=np.int64)
+        for i, p0 in enumerate(positions):
+            lo = int(p0) - (s + g)
+            seg = x[max(lo, 0): max(lo + w, 0)]
+            wins[i, : len(seg)] = seg
+            pos[i] = p0
+        return wins, pos
+
+    def decode_windows(self, wins):
+        """Batch-decode pre-sliced frame windows, padding the batch so
+        auto frames_per_cell keeps a fast factor."""
+        pad = (-len(wins)) % min(8, max(1, len(wins)))
+        if pad:
+            wins = np.concatenate([wins, np.zeros(
+                (pad,) + wins.shape[1:], dtype=np.float32)])
+        res = self.decode_batch(wins)
+        if pad:
+            res = {k: v[: len(wins) - pad] for k, v in res.items()}
+        return res
 
     def decode_recording(self, x, max_frames: int = 64):
         """Find and decode every frame in one long recording.
@@ -262,29 +305,71 @@ class BatchPipeline:
 
         Returns (result dict from decode_batch, positions [n_frames]).
         """
-        if np.iscomplexobj(x):
-            x = cplx.from_np(x)
-        x = np.asarray(x, dtype=np.float32)
-        cfg = self.cfg
-        s, g = cfg.symbol_len, cfg.guard_len
-        w = cfg.frame_samples + s          # window length per frame
-        cands = [c for c in self.sync.scan(x, max_candidates=max_frames)
-                 if c.ok]
-        if not cands:
-            return None, np.zeros(0, dtype=np.int64)
-        wins = np.zeros((len(cands), w, 2), dtype=np.float32)
-        pos = np.zeros(len(cands), dtype=np.int64)
-        for i, c in enumerate(cands):
-            lo = c.p0 - (s + g)
-            seg = x[max(lo, 0): max(lo + w, 0)]
-            wins[i, : len(seg)] = seg
-            pos[i] = c.p0
-        # pad the batch so auto frames_per_cell keeps a fast factor
-        pad = (-len(cands)) % min(8, max(1, len(cands)))
-        if pad:
-            wins = np.concatenate([wins, np.zeros(
-                (pad, w, 2), dtype=np.float32)])
-        res = self.decode_batch(wins)
-        if pad:
-            res = {k: v[: len(cands)] for k, v in res.items()}
-        return res, pos
+        wins, pos = self.frame_windows(x, max_frames)
+        if not len(wins):
+            return None, pos
+        return self.decode_windows(wins), pos
+
+    def payload_bytes(self, result, i: int) -> bytes:
+        bits = np.asarray(result["bits"][i])
+        return B.scramble(B.bits_to_bytes_le(bits))
+
+
+@functools.lru_cache(maxsize=None)
+def cached_pipeline(rate: int, oper_mode: int,
+                    list_size: int = 8) -> BatchPipeline:
+    return BatchPipeline(rate, oper_mode, list_size)
+
+
+def decode_recording_auto(x, rate: int, channels: int = 2,
+                          max_frames: int = 64):
+    """Reference-decoder semantics on the serving path: the operating
+    mode and callsign auto-detect per frame from the BCH(255,71)+OSD
+    header (decode.cc:398-446), frames group by mode, and each group
+    batch-decodes in ONE jitted call.
+
+    x: complex [T], [T, 2] split-complex, or real mono when
+    channels == 1.  Returns a time-ordered list of per-frame dicts:
+    {pos, mode, call_sign, ok, payload, flips, snr}.
+    """
+    from .decoder import cached_decoder
+    dec = cached_decoder(rate)
+    if channels == 1 and not np.iscomplexobj(x):
+        import jax.numpy as _jnp
+        x = np.asarray(dec._frontend_jit(
+            _jnp.asarray(np.asarray(x, dtype=np.float32))))
+    elif np.iscomplexobj(x):
+        from . import cplx as _cplx
+        x = _cplx.from_np(x)
+    x = np.asarray(x, dtype=np.float32)
+
+    frames = []          # (pos, mode, call)
+    for c in dec.sync.scan(x, max_candidates=max_frames):
+        if not c.ok:
+            continue
+        hdr, _status = dec._decode_header(x, c)
+        if hdr is None:
+            continue
+        oper_mode, call = hdr
+        frames.append((c.p0, oper_mode, B.base37_decode(call).lstrip()))
+
+    out = []
+    by_mode: dict[int, list[int]] = {}
+    for idx, (_p, m, _c) in enumerate(frames):
+        by_mode.setdefault(m, []).append(idx)
+    results = [None] * len(frames)
+    for m, idxs in by_mode.items():
+        pipe = cached_pipeline(rate, m)
+        wins, _ = pipe.windows_at(x, [frames[i][0] for i in idxs])
+        res = pipe.decode_windows(wins)
+        for j, i in enumerate(idxs):
+            results[i] = (pipe, res, j)
+    for i, (p0, m, call) in enumerate(frames):
+        pipe, res, j = results[i]
+        out.append(dict(
+            pos=int(p0), mode=m, call_sign=call,
+            ok=bool(np.asarray(res["ok"])[j]),
+            payload=pipe.payload_bytes(res, j),
+            flips=int(np.asarray(res["flips"])[j]),
+            snr=np.asarray(res["snr"][j])))
+    return out

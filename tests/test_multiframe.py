@@ -52,3 +52,30 @@ def test_decode_recording_batches_all_frames(two_frames):
     assert np.asarray(res["ok"]).all()
     for i, want in enumerate(payloads):
         assert pipe.payload_bytes(res, i) == want
+
+
+def test_decode_recording_auto_mixed_modes():
+    """Auto-mode serving: two frames of DIFFERENT modes in one
+    recording; mode + callsign come from each frame's header
+    (decode.cc:398-446), then each mode group batch-decodes."""
+    from modem_tpu.pipeline import decode_recording_auto
+
+    rng = np.random.default_rng(9)
+    waves, payloads = [], []
+    for mode, call in ((10, "AB1CDE"), (12, "N0CALL")):
+        cfg = make_config(8000, mode, 2000)
+        enc = Encoder(cfg)
+        p = rng.integers(0, 256, cfg.mode.data_bytes,
+                         dtype=np.uint8).tobytes()
+        wave, _ = enc.encode(p, B.base37_encode(call))
+        waves.append(wave)
+        payloads.append(p)
+    gap = np.zeros(2000, dtype=np.complex64)
+    rec = np.concatenate([gap, waves[0], gap, waves[1], gap])
+    out = decode_recording_auto(rec, 8000)
+    assert len(out) == 2
+    assert [f["mode"] for f in out] == [10, 12]
+    assert [f["call_sign"] for f in out] == ["AB1CDE", "N0CALL"]
+    assert all(f["ok"] for f in out)
+    assert [f["payload"] for f in out] == payloads
+    assert out[1]["pos"] > out[0]["pos"]
