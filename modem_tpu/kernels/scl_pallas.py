@@ -52,7 +52,7 @@ CHUNK2 = 128      # tier-2 tile width (node width <= 128)
  OPX_F_S, OPX_G_S, OPX_C_S, OPX_F0, OPX_G0,
  OPX_F_B, OPX_G_B, OPX_C_B,
  OPX_F2, OPX_G2, OPX_C2, OPX_RATE0_2, OPX_REP_2, OPX_RATE1_2,
- OPX_SPC_2) = range(22)
+ OPX_SPC_2, OPX_REPSPC_2) = range(23)
 
 
 def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
@@ -179,6 +179,36 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                 r[C_OP] = opc + 0 if opc >= 3 else opc
                 r[C_SRC] = raw[i, C_SRC] // CHUNK - d0_shift
                 r[C_BDST] = raw[i, C_BDST] // CHUNK
+
+    # ---- REP-SPC fusion: the dominant bottom-of-tree pattern is a
+    # node whose left child is a REP leaf and right child an SPC leaf
+    # (457 of the wire schedule's 545 twin-leaf parents).  Fuse its
+    # five ops (F, REP, G, COMBINE glue around the two leaves) into
+    # one: the REP beta is a single +-1 per lane, so G degenerates to
+    # b + s*a and the combine to [s*b_spc | b_spc].  Path-metric and
+    # fork order are IDENTICAL to the unfused sequence.
+    fused = []
+    i = 0
+    want = (OPX_F2, OPX_REP_2, OPX_G2, OPX_SPC_2, OPX_C2)
+    while i < sched.n_ops:
+        if (i + 4 < sched.n_ops
+                and tuple(ops16[i: i + 5, C_OP]) == want
+                and ops16[i, C_D] == ops16[i + 2, C_D]
+                == ops16[i + 4, C_D]
+                and ops16[i, C_WIDTH] == ops16[i + 2, C_WIDTH]
+                == ops16[i + 4, C_WIDTH]):
+            row = ops16[i].copy()          # the F2 row: src, d, width
+            row[C_OP] = OPX_REPSPC_2
+            row[C_BDST] = ops16[i + 4, C_BDST]
+            row[C_SIDW] = ops16[i + 4, C_SIDW]
+            row[C_LAST] = ops16[i + 4, C_LAST]
+            fused.append(row)
+            i += 5
+        else:
+            fused.append(ops16[i])
+            i += 1
+    ops16 = np.stack(fused)
+    n_ops = len(ops16)
 
     def iota2(shape, dim):
         return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
@@ -554,10 +584,13 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                     reset_ref(depths + ops_ref[i, C_SIDW], last)
                     return 0
 
-                def t_spc(_):
-                    """Single-parity-check node: parity-fix the hard
-                    decisions, fork on exclusive pair flips {i0, ij}."""
-                    a = rd_llr(d, ops_ref[i, C_SRC])
+                def spc_core(a, s_col):
+                    """Single-parity-check list decode of `a` over
+                    `width` columns: parity-fix the hard decisions,
+                    fork on exclusive pair flips {i0, ij}.  `s_col`
+                    [P, 1] is an extra per-lane payload carried through
+                    the forks (the fused REP-SPC op threads the REP
+                    sign through).  Returns (betas, s_col, pm)."""
                     valid = cmask(width)
                     mag = jnp.where(valid, jnp.abs(a), BIG)
                     b = jnp.where(valid,
@@ -592,40 +625,82 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                         oddsw = jnp.round(jnp.dot(
                             pmat, jnp.concatenate(
                                 [jnp.where(odd, 1.0, 0.0),
-                                 switched.astype(jnp.float32)],
+                                 switched.astype(jnp.float32),
+                                 s_col],
                                 axis=1),
                             preferred_element_type=jnp.float32))
                         odd = oddsw[:, 0:1] > 0.5
                         switched = oddsw[:, 1:2].astype(jnp.int32)
+                        s_col = oddsw[:, 2:3]
                         permute_refs(perm)
                         pair = ((iota == idxs[:, 0:1]) |
                                 (iota == idxs[:, r:r + 1]))
                         b = jnp.where(pair & (flip > 0), -b, b)
                         switched = switched | flip
+                    return b, s_col, pm2
+
+                def t_spc(_):
+                    a = rd_llr(d, ops_ref[i, C_SRC])
+                    b, _s, pm2 = spc_core(a, jnp.ones((P, 1),
+                                                      jnp.float32))
                     wr_beta(ops_ref[i, C_BDST], b)
                     pm_put(pm2)
                     reset_ref(depths + ops_ref[i, C_SIDW], last)
                     return 0
 
+                def t_rep_spc(_):
+                    """Fused node: REP left child + SPC right child.
+                    Path-metric/fork order matches the unfused F, REP,
+                    G, SPC, COMBINE sequence exactly; the REP beta is
+                    one sign per lane, so G is b + s*a and the combine
+                    is [s*b_spc | b_spc]."""
+                    blk = clean(rd_llr(d, ops_ref[i, C_SRC]),
+                                2 * width)
+                    f_llr = f_of(blk, shl(blk, width))
+                    m = cmask(width)
+                    m0 = jnp.sum(jnp.where(m, jnp.maximum(-f_llr, 0.0),
+                                           0.0),
+                                 axis=1, keepdims=True)     # [P, 1]
+                    m1 = jnp.sum(jnp.where(m, jnp.maximum(f_llr, 0.0),
+                                           0.0),
+                                 axis=1, keepdims=True)
+                    perm, flip, pm2 = select_l(pm_row() + m0.T,
+                                               m1 - m0)
+                    s_col = jnp.where(flip > 0, -1.0, 1.0).astype(
+                        jnp.float32)                        # [P, 1]
+                    pmat = perm_matrix(perm)
+                    blk = jnp.dot(pmat, blk,
+                                  preferred_element_type=jnp.float32)
+                    permute_refs(perm)
+                    pm_put(pm2)
+                    g_llr = shl(blk, width) + s_col * blk
+                    b, s_col, pm3 = spc_core(g_llr, s_col)
+                    out = jnp.where(m, s_col * b, shr(b, width))
+                    wr_beta(ops_ref[i, C_BDST], out)
+                    pm_put(pm3)
+                    reset_ref(depths + ops_ref[i, C_SIDW], last)
+                    return 0
+
                 return t_f_s, t_g_s, t_c_s, t_rate0, t_rep, t_rate1, \
-                    t_spc
+                    t_spc, t_rep_spc
 
             (do_f_s, do_g_s, do_c_s, do_rate0, do_rep, do_rate1,
-             do_spc) = make_tier(CHUNK, read_llr, read_beta, put_llr,
-                                 put_beta)
+             do_spc, _unused) = make_tier(CHUNK, read_llr, read_beta,
+                                          put_llr, put_beta)
             (do_f2, do_g2, do_c2, do_rate0_2, do_rep_2, do_rate1_2,
-             do_spc_2) = make_tier(CHUNK2, read_llr2, read_beta2,
-                                   put_llr2, put_beta2)
+             do_spc_2, do_rep_spc_2) = make_tier(
+                 CHUNK2, read_llr2, read_beta2, put_llr2, put_beta2)
 
             jax.lax.switch(op, [do_f, do_g, do_combine, do_rate0,
                                 do_rep, do_rate1, do_spc, do_f_s,
                                 do_g_s, do_c_s, do_f0, do_g0,
                                 do_f_b, do_g_b, do_c_b,
                                 do_f2, do_g2, do_c2, do_rate0_2,
-                                do_rep_2, do_rate1_2, do_spc_2], 0)
+                                do_rep_2, do_rate1_2, do_spc_2,
+                                do_rep_spc_2], 0)
             return 0
 
-        jax.lax.fori_loop(0, sched.n_ops, body, 0)
+        jax.lax.fori_loop(0, n_ops, body, 0)
 
         # ---- emit outputs --------------------------------------------
         for r in range(n_rows):
@@ -651,7 +726,7 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
             kernel,
             grid=(cells,),
             in_specs=[
-                pl.BlockSpec((sched.n_ops, 16), lambda b: (0, 0),
+                pl.BlockSpec((n_ops, 16), lambda b: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, F, n_rows, CHUNK),
                              lambda b: (b, 0, 0, 0),
