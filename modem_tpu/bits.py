@@ -75,7 +75,13 @@ _SCRAMBLER_CACHE: dict[int, np.ndarray] = {}
 
 
 def scramble(data: bytes | np.ndarray) -> bytes:
-    """XOR the payload with the xorshift32 keystream (self-inverse)."""
+    """XOR the payload with the xorshift32 keystream (self-inverse).
+
+    Dispatches to the native C++ runtime when built (native.py is
+    property-tested against the numpy path here)."""
+    from . import native
+    if native.available():
+        return native.scramble(bytes(data))
     arr = np.frombuffer(bytes(data), dtype=np.uint8)
     n = len(arr)
     key = _SCRAMBLER_CACHE.get(n)
@@ -118,6 +124,10 @@ class Crc:
         return reg & self.mask
 
     def update_bytes(self, reg: int, data: bytes | np.ndarray) -> int:
+        from . import native
+        if native.available():
+            return native.crc_bytes(self.poly, bytes(data),
+                                    reg) & self.mask
         for byte in np.frombuffer(bytes(data), dtype=np.uint8):
             reg = int(self._table[(reg ^ int(byte)) & 0xFF]) ^ (reg >> 8)
         return reg & self.mask

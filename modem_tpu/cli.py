@@ -42,6 +42,13 @@ def cmd_encode(argv: list[str]) -> int:
     freq_off, oper_mode, call_str = int(argv[4]), int(argv[5]), argv[6]
     inputs = argv[7:]
 
+    if out_bits not in (8, 16):
+        print("Unsupported bits per sample.", file=sys.stderr)
+        return 1
+    if channels not in (1, 2):
+        print("Only real or analytic signal (one or two channels) "
+              "supported.", file=sys.stderr)
+        return 1
     if oper_mode < 6 or oper_mode > 13:
         print("Unsupported operation mode.", file=sys.stderr)
         return 1
@@ -96,7 +103,7 @@ def cmd_decode(argv: list[str]) -> int:
     from .decoder import Decoder
     try:
         dec = Decoder(data.rate)
-    except KeyError:
+    except ValueError:
         print("Unsupported sample rate.", file=sys.stderr)
         return 1
 

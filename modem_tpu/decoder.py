@@ -63,6 +63,9 @@ class Decoder:
     def __init__(self, rate: int, list_size: int = 8,
                  device_scl="auto"):
         # mode choice does not affect the front-end/sync/header stages
+        from .numerology import SUPPORTED_RATES
+        if rate not in SUPPORTED_RATES:
+            raise ValueError(f"unsupported sample rate {rate}")
         self.rate = rate
         self.cfg = ModemConfig(rate=rate, mode=MODES[6], freq_off=0)
         self.list_size = list_size
@@ -75,6 +78,7 @@ class Decoder:
             device_scl = True
         self.device_scl = device_scl
         self._device_scl_cache: dict[int, object] = {}
+        self._payload_cache: dict[int, object] = {}
         self.sync = sync.Synchronizer(self.cfg)
         self._header_jit = jax.jit(self._header_soft)
         # eager op dispatch is expensive on this backend; jit the OSD
@@ -144,8 +148,16 @@ class Decoder:
     # ------------------------------------------------------------------
     # payload stage (decode.cc:453-529)
     # ------------------------------------------------------------------
-    @functools.lru_cache(maxsize=None)
     def _payload_jit(self, oper_mode: int):
+        # per-instance cache (an lru_cache on a method would pin every
+        # Decoder instance, and its jit caches, for the process life)
+        fn = self._payload_cache.get(oper_mode)
+        if fn is None:
+            fn = self._build_payload_jit(oper_mode)
+            self._payload_cache[oper_mode] = fn
+        return fn
+
+    def _build_payload_jit(self, oper_mode: int):
         cfg = _rx_config(self.rate, oper_mode)
         mode = cfg.mode
         s, g = cfg.symbol_len, cfg.guard_len
@@ -254,6 +266,7 @@ class Decoder:
                 continue
             if skip > 0:
                 skip -= 1
+                result.status = "ran out of frames while skipping"
                 continue
             oper_mode, call = hdr
             result.oper_mode = oper_mode

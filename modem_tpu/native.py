@@ -1,10 +1,14 @@
 """ctypes bindings for the native host runtime (native/modem_host.cc).
 
-The byte-level framing hot path (scrambler, CRC tables, bit packing,
-WAV sample quantisation) runs in C++ like the reference's host code;
-every entry point has a numpy fallback so the package works unbuilt.
-Build with `make -C native` (done automatically on first import when a
-compiler is available).
+The byte-level framing hot path runs in C++ like the reference's host
+code: bits.scramble and Crc.update_bytes dispatch here when the
+library is built, and wav.py uses the native RIFF codec (file IO +
+quantisation).  The bit-packing entry points mirror numpy's
+pack/unpackbits (which are already C-speed) — they exist so the C ABI
+covers the full framing surface for non-Python embedders, and are
+property-tested against bits.py.  Every entry point has a numpy
+fallback so the package works unbuilt.  Build with `make -C native`
+(done automatically on first import when a compiler is available).
 """
 
 from __future__ import annotations

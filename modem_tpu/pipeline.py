@@ -255,9 +255,6 @@ class BatchPipeline:
         if np.iscomplexobj(x):
             x = cplx.from_np(x)
         x = np.asarray(x, dtype=np.float32)
-        cfg = self.cfg
-        s, g = cfg.symbol_len, cfg.guard_len
-        w = cfg.frame_samples + s
         cands = [c for c in self.sync.scan(x, max_candidates=max_frames)
                  if c.ok]
         return self.windows_at(x, [c.p0 for c in cands])
@@ -281,15 +278,19 @@ class BatchPipeline:
         return wins, pos
 
     def decode_windows(self, wins):
-        """Batch-decode pre-sliced frame windows, padding the batch so
-        auto frames_per_cell keeps a fast factor."""
-        pad = (-len(wins)) % min(8, max(1, len(wins)))
+        """Batch-decode pre-sliced frame windows, padding the batch up
+        to the next multiple of 8 (next power of two below 8) so auto
+        frames_per_cell keeps a fast Pallas factor."""
+        n = len(wins)
+        target = -(-n // 8) * 8 if n > 8 else \
+            1 << max(0, (n - 1).bit_length())
+        pad = target - n
         if pad:
             wins = np.concatenate([wins, np.zeros(
                 (pad,) + wins.shape[1:], dtype=np.float32)])
         res = self.decode_batch(wins)
         if pad:
-            res = {k: v[: len(wins) - pad] for k, v in res.items()}
+            res = {k: v[:n] for k, v in res.items()}
         return res
 
     def decode_recording(self, x, max_frames: int = 64):

@@ -31,24 +31,35 @@ class StageTimer:
 
     Usage:
         timer = StageTimer()
-        with timer("sync"):
-            out = sync_fn(x)
-    Each context blocks on the stage output so device work is charged
-    to the right stage.
+        with timer("sync") as stage:
+            stage.out = sync_fn(x)
+    On exit the context blocks on ``stage.out`` (anything
+    jax.block_until_ready accepts) so device work is charged to the
+    right stage instead of draining inside whichever later stage
+    happens to block first.  Note: on remote backends where
+    block_until_ready does not truly block (docs/PERFORMANCE.md trap
+    8), assign a HOST value, e.g. ``stage.out = np.asarray(y)``.
     """
+
+    class _Stage:
+        __slots__ = ("out",)
+
+        def __init__(self):
+            self.out = None
 
     def __init__(self):
         self.totals = defaultdict(float)
         self.counts = defaultdict(int)
 
     @contextlib.contextmanager
-    def __call__(self, name: str, result=None):
+    def __call__(self, name: str):
+        stage = self._Stage()
         t0 = time.perf_counter()
         try:
-            yield
+            yield stage
         finally:
-            if result is not None:
-                jax.block_until_ready(result)
+            if stage.out is not None:
+                jax.block_until_ready(stage.out)
             self.totals[name] += time.perf_counter() - t0
             self.counts[name] += 1
 

@@ -205,7 +205,9 @@ class Synchronizer:
             jnp.asarray(timing), self.thr_lo, self.thr_hi))
 
         events = []
-        for edge in np.nonzero(falling)[0][: max_candidates]:
+        # examine a 4x margin of raw edges: spurious noise edges must
+        # not consume candidate slots ahead of real, later frames
+        for edge in np.nonzero(falling)[0][: 4 * max_candidates]:
             # start of the collect region that ends at this edge
             prior = np.nonzero(~state[:edge])[0]
             rstart = prior[-1] + 1 if len(prior) else 0
@@ -234,6 +236,8 @@ class Synchronizer:
             out.append(SyncCandidate(
                 p0=int(p0) - int(pos_err[i]), frac_cfo=fc, cfo_rad=cfo,
                 ok=ok, peak_ratio=float(peak[i] / max(nxt[i], 1e-30))))
+            if sum(c.ok for c in out) >= max_candidates:
+                break
         return out
 
     def _window(self, x: np.ndarray, p0: int) -> np.ndarray:
