@@ -129,6 +129,44 @@ def cmd_decode(argv: list[str]) -> int:
     return 0
 
 
+def cmd_decode_all(argv: list[str]) -> int:
+    """Batched serving: decode EVERY frame in a recording, with
+    per-frame mode/callsign auto-detection (beyond the reference's
+    one-frame-per-run CLI; the library analog of running `decode` with
+    every SKIP value, in one batched call per mode)."""
+    if len(argv) != 2:
+        print("usage: decode-all OUTPUT_PREFIX INPUT", file=sys.stderr)
+        return 1
+    prefix, input_name = argv
+    if input_name == "-":
+        input_name = "/dev/stdin"
+    data = wav.read_wav(input_name)
+    if data.channels < 1 or data.channels > 2:
+        print("Only real or analytic signal (one or two channels) "
+              "supported.", file=sys.stderr)
+        return 1
+    from .pipeline import decode_recording_auto
+    samples = (data.samples[:, 0] if data.channels == 1
+               else data.samples[:, :2])
+    frames = decode_recording_auto(samples, data.rate,
+                                   channels=data.channels)
+    if not frames:
+        print("no frames found", file=sys.stderr)
+        return 1
+    bad = 0
+    for i, f in enumerate(frames):
+        print(f"frame {i}: pos {f['pos']} mode {f['mode']} "
+              f"call sign {f['call_sign']} "
+              f"{'ok' if f['ok'] else 'FAILED'} flips {f['flips']}",
+              file=sys.stderr)
+        if f["ok"]:
+            with open(f"{prefix}.{i:03d}", "wb") as out:
+                out.write(f["payload"])
+        else:
+            bad += 1
+    return 1 if bad else 0
+
+
 def cmd_freezer(argv: list[str]) -> int:
     """Regenerate the polar frozen-bit tables (freezer.cc:34-39)."""
     import math
@@ -159,6 +197,8 @@ def main(argv=None) -> int:
         return cmd_encode(rest)
     if cmd == "decode":
         return cmd_decode(rest)
+    if cmd == "decode-all":
+        return cmd_decode_all(rest)
     if cmd == "freezer":
         return cmd_freezer(rest)
     print(f"unknown command {cmd}", file=sys.stderr)

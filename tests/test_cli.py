@@ -60,3 +60,19 @@ def test_cli_loopback(tmp_path):
                  "AB1CDE", str(inp)]) == 0
     assert main(["decode", str(dec), wav]) == 0
     assert dec.read_bytes() == payload
+
+
+def test_cli_decode_all_two_frames(tmp_path):
+    rng = np.random.default_rng(21)
+    p1 = rng.integers(0, 256, 5380, dtype=np.uint8).tobytes()
+    p2 = rng.integers(0, 256, 5380, dtype=np.uint8).tobytes()
+    f1, f2 = tmp_path / "a.dat", tmp_path / "b.dat"
+    f1.write_bytes(p1)
+    f2.write_bytes(p2)
+    wavf = str(tmp_path / "two.wav")
+    assert main(["encode", wavf, "8000", "16", "2", "2300", "10",
+                 "AB1CDE", str(f1), str(f2)]) == 0
+    prefix = str(tmp_path / "out")
+    assert main(["decode-all", prefix, wavf]) == 0
+    assert (tmp_path / "out.000").read_bytes() == p1
+    assert (tmp_path / "out.001").read_bytes() == p2

@@ -63,3 +63,21 @@ def test_metrics_shapes_and_peak_position():
     # metrics index v corresponds to a symbol starting at v (payload
     # half at v + L); the repeated block starts at pos
     assert abs(n_max - pos) < cfg.guard_len
+
+
+def test_scan_reaches_late_frames():
+    """Regression: the candidate cap applies to GATED candidates, with
+    a 4x margin of raw edges — later frames must stay reachable (the
+    reference's acquisition loop re-arms indefinitely,
+    decode.cc:390-448)."""
+    from modem_tpu.parallel import toy_config, toy_recordings
+    from modem_tpu.sync import Synchronizer
+
+    recs, _ = toy_recordings(1, seed=6)
+    one = np.asarray(recs[0])
+    ten = np.concatenate([one] * 10, axis=0)
+    sync = Synchronizer(toy_config())
+    cands = [c for c in sync.scan(ten, max_candidates=10) if c.ok]
+    assert len(cands) == 10
+    few = [c for c in sync.scan(ten, max_candidates=3) if c.ok]
+    assert len(few) == 3
