@@ -30,7 +30,7 @@ def main():
     from modem_tpu.numerology import make_config
     from modem_tpu.pipeline import BatchPipeline
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     cfg = make_config(8000, 6, 2000)
     enc = Encoder(cfg)
     rng = np.random.default_rng(0)
