@@ -79,3 +79,31 @@ def test_loopback_48k_pipeline():
     res = pipe.decode_batch(rec)
     assert bool(np.asarray(res["ok"])[0])
     assert pipe.payload_bytes(res, 0) == payload
+
+
+def test_loopback_16k_real_mono():
+    """Mono real-channel decode at 16 kHz exercises the 41-tap Hilbert
+    + DC-block front-end (taps are rate-dependent: 21/41/113/125)."""
+    from modem_tpu.decoder import Decoder
+
+    cfg = make_config(16000, 10, 2000)
+    enc = Encoder(cfg)
+    rng = np.random.default_rng(16)
+    payload = rng.integers(0, 256, cfg.mode.data_bytes,
+                           dtype=np.uint8).tobytes()
+    wave, _ = enc.encode(payload, B.base37_encode("N0CALL"))
+    sil = np.zeros(cfg.rate // 4, dtype=np.float32)
+    rec = np.concatenate([sil, wave.real.astype(np.float32), sil])
+    res = Decoder(16000).decode(rec, channels=1)
+    assert res.ok and res.payload == payload
+
+
+def test_noise_only_finds_no_preamble():
+    from modem_tpu.decoder import Decoder
+
+    rng = np.random.default_rng(0)
+    noise = 0.1 * (rng.standard_normal(60000) +
+                   1j * rng.standard_normal(60000))
+    res = Decoder(8000).decode(noise.astype(np.complex64), channels=2)
+    assert not res.ok
+    assert res.payload is None
