@@ -52,7 +52,10 @@ CHUNK2 = 128      # tier-2 tile width (node width <= 128)
  OPX_F_S, OPX_G_S, OPX_C_S, OPX_F0, OPX_G0,
  OPX_F_B, OPX_G_B, OPX_C_B,
  OPX_F2, OPX_G2, OPX_C2, OPX_RATE0_2, OPX_REP_2, OPX_RATE1_2,
- OPX_SPC_2, OPX_REPSPC_2) = range(23)
+ OPX_SPC_2, OPX_REPSPC_2,
+ OPX_RATE0_FL, OPX_REP_FL, OPX_RATE1_FL, OPX_SPC_FL,
+ OPX_RATE0_GR, OPX_REP_GR, OPX_RATE1_GR, OPX_SPC_GR,
+ OPX_REPSPC_FL, OPX_REPSPC_GR) = range(33)
 
 
 def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
@@ -208,6 +211,55 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
             fused.append(ops16[i])
             i += 1
     ops16 = np.stack(fused)
+
+    # ---- prefix/suffix fusion: absorb each tier-2 leaf's preceding
+    # F (left children) or preceding G plus following COMBINE (right
+    # children) into the leaf op itself.  A left leaf's F only feeds
+    # that leaf; a right leaf's G/COMBINE only wrap it; fusing them
+    # removes ~30% of the schedule.  The left-child beta needed by the
+    # G and the COMBINE is carried through the leaf's list forks as a
+    # payload tile, reproducing the lazy-copy re-read exactly.
+    leafset = (OPX_RATE0_2, OPX_REP_2, OPX_RATE1_2, OPX_SPC_2,
+               OPX_REPSPC_2)
+    fused2 = []
+    i = 0
+    n1 = len(ops16)
+    while i < n1:
+        o = ops16[i, C_OP]
+        if (o == OPX_F2 and i + 1 < n1
+                and ops16[i + 1, C_OP] in leafset):
+            nxt = ops16[i + 1]
+            row = ops16[i].copy()      # F: C_D, C_SRC, C_WIDTH
+            if nxt[C_OP] == OPX_REPSPC_2:
+                row[C_OP] = OPX_REPSPC_FL
+            else:
+                row[C_OP] = OPX_RATE0_FL + (nxt[C_OP] - OPX_RATE0_2)
+            row[C_BDST] = nxt[C_BDST]
+            row[C_SIDW] = nxt[C_SIDW]
+            row[C_LAST] = nxt[C_LAST]
+            fused2.append(row)
+            i += 2
+            continue
+        if (o == OPX_G2 and i + 2 < n1
+                and ops16[i + 1, C_OP] in leafset
+                and ops16[i + 2, C_OP] == OPX_C2
+                and ops16[i, C_D] == ops16[i + 2, C_D]):
+            nxt = ops16[i + 1]
+            comb = ops16[i + 2]
+            row = ops16[i].copy()      # G: C_D/C_SRC/C_WIDTH/SIDR/BSRC
+            if nxt[C_OP] == OPX_REPSPC_2:
+                row[C_OP] = OPX_REPSPC_GR
+            else:
+                row[C_OP] = OPX_RATE0_GR + (nxt[C_OP] - OPX_RATE0_2)
+            row[C_BDST] = comb[C_BDST]
+            row[C_SIDW] = comb[C_SIDW]
+            row[C_LAST] = comb[C_LAST]
+            fused2.append(row)
+            i += 3
+            continue
+        fused2.append(ops16[i])
+        i += 1
+    ops16 = np.stack(fused2)
     n_ops = len(ops16)
 
     def iota2(shape, dim):
@@ -498,21 +550,21 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                     reset_ref(depths + ops_ref[i, C_SIDW], last)
                     return 0
 
-                def t_rate0(_):
-                    a = rd_llr(d, ops_ref[i, C_SRC])
+                # ---- leaf cores: body(llr tile, width, carry tile)
+                # -> (beta tile, carry, pm row).  `carry` rides through
+                # every list fork via the same one-hot permutation as
+                # the local state (None = no payload, zero cost).
+
+                def rate0_core(a, w, carry):
                     pen = jnp.sum(
-                        jnp.where(cmask(width),
+                        jnp.where(cmask(w),
                                   jnp.maximum(-a, 0.0), 0.0),
                         axis=1, keepdims=True)          # [P, 1]
-                    pm_put(pm_row() + pen.T)
-                    wr_beta(ops_ref[i, C_BDST],
-                            jnp.ones((P, CW), jnp.float32))
-                    reset_ref(depths + ops_ref[i, C_SIDW], last)
-                    return 0
+                    return (jnp.ones((P, CW), jnp.float32), carry,
+                            pm_row() + pen.T)
 
-                def t_rep(_):
-                    a = rd_llr(d, ops_ref[i, C_SRC])
-                    m = cmask(width)
+                def rep_core(a, w, carry):
+                    m = cmask(w)
                     m0 = jnp.sum(jnp.where(m, jnp.maximum(-a, 0.0),
                                            0.0),
                                  axis=1, keepdims=True)  # [P, 1]
@@ -523,15 +575,60 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                                                m1 - m0)
                     sign = jnp.where(flip > 0, -1.0, 1.0).astype(
                         jnp.float32)                     # [P, 1]
-                    wr_beta(ops_ref[i, C_BDST],
-                            jnp.broadcast_to(sign, (P, CW)))
+                    if carry is not None:
+                        carry = jnp.dot(
+                            perm_matrix(perm), carry,
+                            preferred_element_type=jnp.float32)
                     permute_refs(perm)
-                    pm_put(pm2)
-                    reset_ref(depths + ops_ref[i, C_SIDW], last)
-                    return 0
+                    return (jnp.broadcast_to(sign, (P, CW)), carry,
+                            pm2)
 
-                def least_reliable(mag, iota):
+                def leaf_op(core):
+                    def run(_):
+                        a = rd_llr(d, ops_ref[i, C_SRC])
+                        beta, _c, pm2 = core(a, width, None)
+                        wr_beta(ops_ref[i, C_BDST], beta)
+                        pm_put(pm2)
+                        reset_ref(depths + ops_ref[i, C_SIDW], last)
+                        return 0
+                    return run
+
+                def leaf_op_fl(core):
+                    """Left leaf with its parent F absorbed."""
+                    def run(_):
+                        blk = clean(rd_llr(d, ops_ref[i, C_SRC]),
+                                    2 * width)
+                        a = f_of(blk, shl(blk, width))
+                        beta, _c, pm2 = core(a, width, None)
+                        wr_beta(ops_ref[i, C_BDST], beta)
+                        pm_put(pm2)
+                        reset_ref(depths + ops_ref[i, C_SIDW], last)
+                        return 0
+                    return run
+
+                def leaf_op_gr(core):
+                    """Right leaf with its parent G and the node
+                    COMBINE absorbed; the left-child beta rides the
+                    forks as a payload."""
+                    def run(_):
+                        blk = clean(rd_llr(d, ops_ref[i, C_SRC]),
+                                    2 * width)
+                        bl = clean(rd_beta(ops_ref[i, C_SIDR],
+                                           ops_ref[i, C_BSRC]), width)
+                        g = shl(blk, width) + bl * blk
+                        beta, bl2, pm2 = core(g, width, bl)
+                        beta = clean(beta, width)
+                        out = jnp.where(cmask(width), bl2 * beta,
+                                        shr(beta, width))
+                        wr_beta(ops_ref[i, C_BDST], out)
+                        pm_put(pm2)
+                        reset_ref(depths + ops_ref[i, C_SIDW], last)
+                        return 0
+                    return run
+
+                def least_reliable(mag, iota, w=None):
                     """T smallest |llr| per lane: [P, T] vals + idx."""
+                    del w  # CW is a valid out-of-range sentinel for any w
                     vals_l, idxs_l = [], []
                     mag_t = mag
                     for _k in range(T_RATE1):
@@ -544,21 +641,21 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                     return (jnp.concatenate(vals_l, axis=1),
                             jnp.concatenate(idxs_l, axis=1))
 
-                def t_rate1(_):
-                    a = rd_llr(d, ops_ref[i, C_SRC])
-                    valid = cmask(width)
-                    mag0 = jnp.where(valid, jnp.abs(a), BIG)
-                    b0 = jnp.where(valid,
-                                   jnp.where(a < 0.0, -1.0, 1.0), 0.0)
+                def rate1_core(a, w, carry):
+                    valid = cmask(w)
+                    mag = jnp.where(valid, jnp.abs(a), BIG)
+                    b_local = jnp.where(valid,
+                                        jnp.where(a < 0.0, -1.0, 1.0),
+                                        0.0)
                     iota = iota2((P, CW), 1)
-                    pm0 = pm_row()
-
-                    def round_body(r, carry):
-                        mag, b_local, pm = carry
+                    pm2 = pm_row()
+                    # python loop: the optional carry payload makes the
+                    # fori state shape conditional
+                    for _r in range(T_RATE1):
                         v = jnp.min(mag, axis=1, keepdims=True)
                         at = jnp.min(jnp.where(mag == v, iota, CW),
                                      axis=1, keepdims=True)   # [P, 1]
-                        perm, flip, pm2 = select_l(pm, v)
+                        perm, flip, pm2 = select_l(pm2, v)
                         pmat = perm_matrix(perm)
                         b_local = jnp.dot(
                             pmat, b_local,
@@ -566,6 +663,10 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                         mag = jnp.dot(
                             pmat, mag,
                             preferred_element_type=jnp.float32)
+                        if carry is not None:
+                            carry = jnp.dot(
+                                pmat, carry,
+                                preferred_element_type=jnp.float32)
                         at2 = jnp.round(jnp.dot(
                             pmat, at.astype(jnp.float32),
                             preferred_element_type=jnp.float32)
@@ -575,23 +676,18 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                                             -b_local, b_local)
                         mag = jnp.where(hit, BIG, mag)
                         permute_refs(perm)
-                        return mag, b_local, pm2
+                    return b_local, carry, pm2
 
-                    _, b_local, pm2 = jax.lax.fori_loop(
-                        0, T_RATE1, round_body, (mag0, b0, pm0))
-                    wr_beta(ops_ref[i, C_BDST], b_local)
-                    pm_put(pm2)
-                    reset_ref(depths + ops_ref[i, C_SIDW], last)
-                    return 0
-
-                def spc_core(a, s_col):
-                    """Single-parity-check list decode of `a` over
-                    `width` columns: parity-fix the hard decisions,
-                    fork on exclusive pair flips {i0, ij}.  `s_col`
-                    [P, 1] is an extra per-lane payload carried through
-                    the forks (the fused REP-SPC op threads the REP
-                    sign through).  Returns (betas, s_col, pm)."""
-                    valid = cmask(width)
+                def spc_core(a, w, carry, s_col=None):
+                    """Single-parity-check list decode of `a` over `w`
+                    columns: parity-fix the hard decisions, fork on
+                    exclusive pair flips {i0, ij}.  `s_col` [P, 1] and
+                    `carry` [P, CW] are per-lane payloads carried
+                    through the forks.  Returns (betas, carry, s_col,
+                    pm)."""
+                    if s_col is None:
+                        s_col = jnp.ones((P, 1), jnp.float32)
+                    valid = cmask(w)
                     mag = jnp.where(valid, jnp.abs(a), BIG)
                     b = jnp.where(valid,
                                   jnp.where(a < 0.0, -1.0, 1.0), 0.0)
@@ -599,7 +695,7 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                     negs = jnp.sum(jnp.where(b < 0.0, 1, 0), axis=1,
                                    keepdims=True)          # [P, 1]
                     odd = (negs % 2) == 1
-                    vals, idxs = least_reliable(mag, iota)
+                    vals, idxs = least_reliable(mag, iota, w)
                     v0 = vals[:, 0:1]
                     i0 = idxs[:, 0:1]
                     pm = pm_row() + jnp.where(odd, v0, 0.0).T
@@ -632,32 +728,30 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                         odd = oddsw[:, 0:1] > 0.5
                         switched = oddsw[:, 1:2].astype(jnp.int32)
                         s_col = oddsw[:, 2:3]
+                        if carry is not None:
+                            carry = jnp.dot(
+                                pmat, carry,
+                                preferred_element_type=jnp.float32)
                         permute_refs(perm)
                         pair = ((iota == idxs[:, 0:1]) |
                                 (iota == idxs[:, r:r + 1]))
                         b = jnp.where(pair & (flip > 0), -b, b)
                         switched = switched | flip
-                    return b, s_col, pm2
+                    return b, carry, s_col, pm2
 
-                def t_spc(_):
-                    a = rd_llr(d, ops_ref[i, C_SRC])
-                    b, _s, pm2 = spc_core(a, jnp.ones((P, 1),
-                                                      jnp.float32))
-                    wr_beta(ops_ref[i, C_BDST], b)
-                    pm_put(pm2)
-                    reset_ref(depths + ops_ref[i, C_SIDW], last)
-                    return 0
+                def spc_leaf_core(a, w, carry):
+                    b, carry, _s, pm2 = spc_core(a, w, carry)
+                    return b, carry, pm2
 
-                def t_rep_spc(_):
-                    """Fused node: REP left child + SPC right child.
-                    Path-metric/fork order matches the unfused F, REP,
-                    G, SPC, COMBINE sequence exactly; the REP beta is
-                    one sign per lane, so G is b + s*a and the combine
-                    is [s*b_spc | b_spc]."""
-                    blk = clean(rd_llr(d, ops_ref[i, C_SRC]),
-                                2 * width)
-                    f_llr = f_of(blk, shl(blk, width))
-                    m = cmask(width)
+                def repspc_core(x, w, carry):
+                    """Node with REP left child + SPC right child
+                    (widths w), given the node's LLR tile `x` (2w valid
+                    cols).  Fork order matches the unfused F, REP, G,
+                    SPC, COMBINE sequence exactly; the REP beta is one
+                    sign per lane, so G is b + s*a and the combine is
+                    [s*b_spc | b_spc]."""
+                    f_llr = f_of(x, shl(x, w))
+                    m = cmask(w)
                     m0 = jnp.sum(jnp.where(m, jnp.maximum(-f_llr, 0.0),
                                            0.0),
                                  axis=1, keepdims=True)     # [P, 1]
@@ -669,27 +763,81 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                     s_col = jnp.where(flip > 0, -1.0, 1.0).astype(
                         jnp.float32)                        # [P, 1]
                     pmat = perm_matrix(perm)
-                    blk = jnp.dot(pmat, blk,
-                                  preferred_element_type=jnp.float32)
+                    x = jnp.dot(pmat, x,
+                                preferred_element_type=jnp.float32)
+                    if carry is not None:
+                        carry = jnp.dot(
+                            pmat, carry,
+                            preferred_element_type=jnp.float32)
                     permute_refs(perm)
                     pm_put(pm2)
-                    g_llr = shl(blk, width) + s_col * blk
-                    b, s_col, pm3 = spc_core(g_llr, s_col)
-                    out = jnp.where(m, s_col * b, shr(b, width))
+                    g_llr = shl(x, w) + s_col * x
+                    b, carry, s_col, pm3 = spc_core(g_llr, w, carry,
+                                                    s_col)
+                    out = jnp.where(m, s_col * b, shr(b, w))
+                    return out, carry, pm3
+
+                def t_rep_spc(_):
+                    blk = clean(rd_llr(d, ops_ref[i, C_SRC]),
+                                2 * width)
+                    out, _c, pm3 = repspc_core(blk, width, None)
                     wr_beta(ops_ref[i, C_BDST], out)
                     pm_put(pm3)
                     reset_ref(depths + ops_ref[i, C_SIDW], last)
                     return 0
 
-                return t_f_s, t_g_s, t_c_s, t_rate0, t_rep, t_rate1, \
-                    t_spc, t_rep_spc
+                def t_rep_spc_fl(_):
+                    """REP-SPC node with its parent F absorbed: the
+                    op's width is the NODE width (2x the REP width)."""
+                    blk = clean(rd_llr(d, ops_ref[i, C_SRC]),
+                                2 * width)
+                    x = clean(f_of(blk, shl(blk, width)), width)
+                    out, _c, pm3 = repspc_core(x, width // 2, None)
+                    wr_beta(ops_ref[i, C_BDST], out)
+                    pm_put(pm3)
+                    reset_ref(depths + ops_ref[i, C_SIDW], last)
+                    return 0
 
+                def t_rep_spc_gr(_):
+                    """REP-SPC node with its parent G and COMBINE
+                    absorbed; left beta rides the forks."""
+                    blk = clean(rd_llr(d, ops_ref[i, C_SRC]),
+                                2 * width)
+                    bl = clean(rd_beta(ops_ref[i, C_SIDR],
+                                       ops_ref[i, C_BSRC]), width)
+                    x = clean(shl(blk, width) + bl * blk, width)
+                    out, bl2, pm3 = repspc_core(x, width // 2, bl)
+                    out = clean(out, width)
+                    pout = jnp.where(cmask(width), bl2 * out,
+                                     shr(out, width))
+                    wr_beta(ops_ref[i, C_BDST], pout)
+                    pm_put(pm3)
+                    reset_ref(depths + ops_ref[i, C_SIDW], last)
+                    return 0
+
+                return (t_f_s, t_g_s, t_c_s, leaf_op(rate0_core),
+                        leaf_op(rep_core), leaf_op(rate1_core),
+                        leaf_op(spc_leaf_core), t_rep_spc,
+                        leaf_op_fl(rate0_core), leaf_op_fl(rep_core),
+                        leaf_op_fl(rate1_core),
+                        leaf_op_fl(spc_leaf_core),
+                        leaf_op_gr(rate0_core), leaf_op_gr(rep_core),
+                        leaf_op_gr(rate1_core),
+                        leaf_op_gr(spc_leaf_core),
+                        t_rep_spc_fl, t_rep_spc_gr)
+
+            t1 = make_tier(CHUNK, read_llr, read_beta, put_llr,
+                           put_beta)
+            t2 = make_tier(CHUNK2, read_llr2, read_beta2, put_llr2,
+                           put_beta2)
+            # t1 uses only the plain variants (fusion is tier-2 only)
             (do_f_s, do_g_s, do_c_s, do_rate0, do_rep, do_rate1,
-             do_spc, _unused) = make_tier(CHUNK, read_llr, read_beta,
-                                          put_llr, put_beta)
+             do_spc) = t1[:7]
             (do_f2, do_g2, do_c2, do_rate0_2, do_rep_2, do_rate1_2,
-             do_spc_2, do_rep_spc_2) = make_tier(
-                 CHUNK2, read_llr2, read_beta2, put_llr2, put_beta2)
+             do_spc_2, do_rep_spc_2, do_rate0_fl, do_rep_fl,
+             do_rate1_fl, do_spc_fl, do_rate0_gr, do_rep_gr,
+             do_rate1_gr, do_spc_gr, do_rep_spc_fl,
+             do_rep_spc_gr) = t2
 
             jax.lax.switch(op, [do_f, do_g, do_combine, do_rate0,
                                 do_rep, do_rate1, do_spc, do_f_s,
@@ -697,7 +845,11 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                                 do_f_b, do_g_b, do_c_b,
                                 do_f2, do_g2, do_c2, do_rate0_2,
                                 do_rep_2, do_rate1_2, do_spc_2,
-                                do_rep_spc_2], 0)
+                                do_rep_spc_2,
+                                do_rate0_fl, do_rep_fl, do_rate1_fl,
+                                do_spc_fl, do_rate0_gr, do_rep_gr,
+                                do_rate1_gr, do_spc_gr,
+                                do_rep_spc_fl, do_rep_spc_gr], 0)
             return 0
 
         jax.lax.fori_loop(0, n_ops, body, 0)
