@@ -63,3 +63,55 @@ def test_pallas_split_d0_chunked_code():
         assert (np.sort(cws_r[b], axis=0) ==
                 np.sort(cws_p[b], axis=0)).all()
         assert (cws_p[b] == cw).all(axis=1).any()
+
+
+def test_pallas_all_opcode_classes():
+    """A hand-built 2048-bit frozen mask that produces every kernel op
+    class the wire schedules use (tier-1 full/sub F/G/C and leaves,
+    boundary ops, tier-2 fused and unfused leaves); parity vs the VM."""
+    import modem_tpu.kernels.scl_pallas as K
+    from modem_tpu.fec.scl_vm import C_OP
+
+    n = 2048
+    frozen = np.zeros(n, dtype=np.uint8)
+    frozen[0:512] = 1                      # RATE0 (tier-1, 512)
+    # [512:1024) all info -> RATE1 (tier-1, 512)
+    frozen[1024:1280] = 1                  # REP 256 (tier-1 sub)
+    frozen[1279] = 0
+    # [1280:1536) info -> RATE1 256 (tier-1 sub)
+    frozen[1536] = 1                       # SPC 256 (tier-1 sub)
+    frozen[1792:1919] = 1                  # REP 128 via boundary (t2,
+    frozen[1919] = 0                       #   unfused: F_B prefix)
+    # [1920:2048) info -> RATE1_2 via boundary (unfused)
+
+    k = int(n - frozen.sum())
+    rng = np.random.default_rng(3)
+    mk = lambda F: K.make_pallas_decoder(frozen, 8, frames_per_cell=F,
+                                         interpret=True)
+    raw = mk(2)
+    ops = [c.cell_contents for c in raw.__closure__
+           if isinstance(c.cell_contents, np.ndarray)
+           and getattr(c.cell_contents, "ndim", 0) == 2
+           and c.cell_contents.shape[1] == 16][0]
+    seen = set(ops[:, C_OP].tolist())
+    needed = {K.OPX_F, K.OPX_G, K.OPX_C, K.OPX_RATE0, K.OPX_RATE1,
+              K.OPX_REP, K.OPX_SPC, K.OPX_F_B, K.OPX_G_B, K.OPX_C_B,
+              K.OPX_REP_2, K.OPX_RATE1_2, K.OPX_F0, K.OPX_G0}
+    assert needed <= seen, sorted(needed - seen)
+
+    # parity vs the XLA VM on noisy codewords
+    from modem_tpu.fec.polar import polar_transform_np
+    msg = np.where(frozen == 1, 0,
+                   rng.integers(0, 2, n)).astype(np.uint8)
+    cw = polar_transform_np(msg)
+    tx = 1.0 - 2.0 * cw.astype(np.float64)
+    llrs = np.stack([
+        2 * (tx + 0.5 * rng.standard_normal(n)) / 0.25
+        for _ in range(2)]).astype(np.float32)
+    ref = jax.jit(jax.vmap(make_decoder(frozen, 8)))
+    cws_r, pm_r = (np.asarray(v) for v in ref(jnp.asarray(llrs)))
+    cws_p, pm_p = (np.asarray(v) for v in raw(jnp.asarray(llrs)))
+    assert np.allclose(np.sort(pm_r, axis=1), np.sort(pm_p, axis=1))
+    for b in range(llrs.shape[0]):
+        assert (np.sort(cws_r[b], axis=0) ==
+                np.sort(cws_p[b], axis=0)).all()
