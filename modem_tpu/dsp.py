@@ -23,12 +23,15 @@ import numpy as np
 
 
 def block_dc(x, window: int):
-    """x - causal sliding mean over `window` samples (decode.cc:386)."""
-    c = jnp.cumsum(x.astype(jnp.float64))
-    head = c[:window] / jnp.arange(1, window + 1)
-    tail = (c[window:] - c[:-window]) / window
-    mean = jnp.concatenate([head, tail])
-    return (x - mean).astype(jnp.float32)
+    """x - causal sliding mean over `window` samples (decode.cc:386).
+
+    Uses the drift-free block window sum (sync.window_sum): a plain
+    cumsum difference in f32 — jnp.float64 silently demotes — would
+    accumulate cancellation error over minutes-long recordings."""
+    from .sync import window_sum
+    s = window_sum(x.astype(jnp.float32), window)
+    cnt = jnp.minimum(jnp.arange(1, x.shape[0] + 1), window)
+    return x - s / cnt
 
 
 @functools.lru_cache(maxsize=None)
