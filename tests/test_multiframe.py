@@ -79,3 +79,23 @@ def test_decode_recording_auto_mixed_modes():
     assert all(f["ok"] for f in out)
     assert [f["payload"] for f in out] == payloads
     assert out[1]["pos"] > out[0]["pos"]
+
+
+def test_decode_recording_isolates_corrupt_frame(two_frames):
+    """A destroyed frame must fail alone: its neighbors still decode
+    bit-exact through the batched serving path."""
+    from modem_tpu.pipeline import BatchPipeline
+
+    cfg, payloads, rec = two_frames
+    rec = np.array(rec)
+    # obliterate the second frame's payload region (keep its preamble
+    # so it is still detected)
+    pos1 = 8000 + cfg.extended_len + cfg.frame_samples  # 2nd frame p0
+    lo = pos1 + 3 * cfg.extended_len
+    rec[lo: lo + 40 * cfg.extended_len] = 0.0
+    pipe = BatchPipeline(8000, 6)
+    res, pos = pipe.decode_recording(rec)
+    assert len(pos) == 2
+    ok = np.asarray(res["ok"])
+    assert bool(ok[0]) and pipe.payload_bytes(res, 0) == payloads[0]
+    assert not bool(ok[1])          # CRC gate rejects the wreck
