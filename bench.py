@@ -1,52 +1,173 @@
 #!/usr/bin/env python
-"""Benchmark: batched mode-6 decode throughput per TPU chip.
+"""Benchmark: batched mode-6 decode + encode throughput per TPU chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "encode_fps": N, "encode_x_realtime": N, "scl_parity_tpu": bool}
 
 metric = frames decoded per second per chip through the full batched
 pipeline (sync argmax -> fine CFO -> FFT demod -> Theil-Sen -> soft
-demap -> SCL VM list-8 -> CRC select).  vs_baseline = multiples of
-real time at 8 kHz (frame duration 9.54 s for mode 6) against the
+demap -> SCL list-8 -> CRC select).  vs_baseline = multiples of real
+time at 8 kHz (frame duration 9.54 s for mode 6) against the
 BASELINE.md target of >= 1000x real time per chip.
+
+encode_fps/encode_x_realtime: the batched single-jit encode path
+(Encoder.encode_batch: polar encode, D-PSK phase accumulation, PAPR
+clip-filter, synthesis IFFT, guard crossfade).
+
+scl_parity_tpu: noisy wire-size frames decoded by the Pallas kernel on
+the REAL chip, compared bitwise against the XLA VM run in a CPU
+subprocess on the same inputs — the Mosaic-codegen check that
+interpret-mode CI parity (tests/test_pallas.py) cannot provide.
 """
 
 import json
+import os
+import subprocess
 import sys
+import tempfile
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+PARITY_FRAMES = 8
+PARITY_SIGMA = 0.70    # the list-decoding sensitivity edge (bench/ab_scl.py)
+PARITY_SEED = 1234
+
+
+def parity_llrs(code):
+    """Seeded noisy wire-size LLR batch shared by both backends."""
+    rng = np.random.default_rng(PARITY_SEED)
+    m = rng.integers(0, 2, code.mesg_bits, dtype=np.uint8)
+    m[code.k:] = 0
+    cw = code.encode_systematic_np(m)
+    tx = 1.0 - 2.0 * code.shorten_np(cw).astype(np.float64)
+    llrs = np.stack([
+        code.lengthen_np(
+            2.0 * (tx + PARITY_SIGMA * rng.standard_normal(code.n))
+            / PARITY_SIGMA**2)
+        for _ in range(PARITY_FRAMES)]).astype(np.float32)
+    return llrs
+
+
+def vm_reference_subprocess(out_path):
+    """Run the XLA VM on the parity batch in a clean CPU process."""
+    prog = (
+        "import numpy as np, jax, jax.numpy as jnp, sys\n"
+        "sys.path.insert(0, %r)\n"
+        "import bench\n"
+        "from modem_tpu.fec.polar import PolarCode\n"
+        "from modem_tpu.fec.scl_vm import make_decoder\n"
+        "code = PolarCode(n=64800, k=43072, order=16)\n"
+        "llrs = bench.parity_llrs(code)\n"
+        "dec = jax.jit(jax.vmap(make_decoder(code.frozen, 8)))\n"
+        "cws, pm = dec(jnp.asarray(llrs))\n"
+        "np.savez(%r, cws=np.asarray(cws), pm=np.asarray(pm))\n"
+    ) % (os.path.dirname(os.path.abspath(__file__)), out_path)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    subprocess.run([sys.executable, "-c", prog], check=True, env=env,
+                   timeout=1200)
+    return np.load(out_path)
+
+
+def scl_parity_check(pipe):
+    """Pallas-on-TPU vs XLA-VM-on-CPU on identical noisy inputs.
+
+    Agreement criterion: identical per-frame recovery of the true
+    codeword at the sensitivity edge, and path metrics within 1 %.
+    Bitwise list equality across backends is NOT achievable: Mosaic
+    and CPU-XLA reduce the per-leaf penalty sums in different orders,
+    and a ULP-level pm difference at a near-tie fork lets the two
+    backends keep different (equally good) tail paths.  Kernel LOGIC
+    is proven exactly against the VM at wire size in interpret mode
+    (identical codeword sets; see docs/SCL_KERNEL.md) — this check
+    covers what interpret mode cannot: Mosaic codegen on the chip.
+    """
+    import jax.numpy as jnp
+    llrs = parity_llrs(pipe.code)
+    rng = np.random.default_rng(PARITY_SEED)
+    m = rng.integers(0, 2, pipe.code.mesg_bits, dtype=np.uint8)
+    m[pipe.code.k:] = 0
+    cw = pipe.code.encode_systematic_np(m)
+    scl = pipe._make_scl(PARITY_FRAMES)
+    cws_p, pm_p = (np.asarray(v) for v in scl(jnp.asarray(llrs)))
+    with tempfile.TemporaryDirectory() as td:
+        ref = vm_reference_subprocess(os.path.join(td, "vm.npz"))
+    cws_r, pm_r = ref["cws"], ref["pm"]
+    hits_p = (cws_p == cw).all(axis=2).any(axis=1)
+    hits_r = (cws_r == cw).all(axis=2).any(axis=1)
+    ok = bool((hits_p == hits_r).all()) and bool(hits_p.any())
+    ok &= bool(np.allclose(np.sort(pm_r, axis=1), np.sort(pm_p, axis=1),
+                           rtol=1e-2))
+    return ok
 
 
 def main():
     from modem_tpu import apply_env_platform
     apply_env_platform()
-    import jax
 
     from modem_tpu import bits as B
+    from modem_tpu import cplx
     from modem_tpu.encoder import Encoder
     from modem_tpu.numerology import make_config
     from modem_tpu.pipeline import BatchPipeline
+    import jax.numpy as jnp
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     cfg = make_config(8000, 6, 2000)
     enc = Encoder(cfg)
     rng = np.random.default_rng(0)
-    payloads = [rng.integers(0, 256, cfg.mode.data_bytes,
-                             dtype=np.uint8).tobytes()
-                for _ in range(batch)]
-    sil = np.zeros(cfg.rate // 4, dtype=np.complex64)
-    recs = []
-    t0 = time.time()
-    for i, p in enumerate(payloads):
-        wave, _ = enc.encode(p, B.base37_encode("N0CALL"))
-        recs.append(np.concatenate([sil, wave, sil]))
-        print(f"# encoded {i + 1}/{batch} ({time.time() - t0:.0f} s)",
-              file=sys.stderr, flush=True)
-    recs = np.stack(recs)
+    call = B.base37_encode("N0CALL")
+    payload_sets = [
+        [rng.integers(0, 256, cfg.mode.data_bytes,
+                      dtype=np.uint8).tobytes() for _ in range(batch)]
+        for _ in range(3)]
 
+    # ---- encode (batched, one jit) ------------------------------------
+    # Same staging convention as the decode loop: inputs staged on
+    # device, a small forcing digest fetched per rep (the axon tunnel
+    # moves ~18 MB/s, so fetching the 81 MB float waveform would
+    # measure the tunnel, not the chip — docs/PERFORMANCE.md "Encode
+    # throughput" has the end-to-end transfer numbers and the
+    # device-side int16 PCM option that halves them).
+    import jax
+
+    def _enc_digest(m, f):
+        wave, papr = jax.vmap(
+            lambda mm, ff: enc._encode_traced(mm[None], ff[None], 1))(m, f)
+        return jnp.sum(jnp.abs(wave), axis=(1, 2)), papr
+
+    enc_digest = jax.jit(_enc_digest)
+    from modem_tpu import bits as _B
+    meta = jnp.asarray(np.broadcast_to(
+        cplx.from_np(enc.meta_fdom(call)),
+        (batch, cfg.symbol_len, 2)))
+    mesg_sets = [jnp.asarray(np.stack(
+        [enc.mesg_bits(_B.scramble(p)) for p in ps]))
+        for ps in payload_sets]
+    for m in mesg_sets:
+        m.block_until_ready()
+    t0 = time.time()
+    np.asarray(enc_digest(mesg_sets[0], meta)[0])    # compile
+    print(f"# encode compile+first: {time.time() - t0:.0f} s",
+          file=sys.stderr, flush=True)
+    t0 = time.time()
+    for m in mesg_sets:
+        np.asarray(enc_digest(m, meta)[0])
+    enc_dt = (time.time() - t0) / len(mesg_sets)
+    frame_s = cfg.frame_samples / cfg.rate      # on-air frame duration
+    enc_fps = batch / enc_dt
+    enc_xrt = enc_fps * frame_s
+    print(f"# encode: {enc_fps:.1f} frames/s = {enc_xrt:.0f}x real time",
+          file=sys.stderr, flush=True)
+    waves, _ = enc.encode_batch(payload_sets[0], call)
+
+    sil = np.zeros((batch, cfg.rate // 4), dtype=np.complex64)
+    recs = np.concatenate([sil, waves, sil], axis=1)
+
+    # ---- decode (batched, one jit) ------------------------------------
     pipe = BatchPipeline(8000, 6)
     t0 = time.time()
     print("# compiling batched decode...", file=sys.stderr, flush=True)
@@ -54,7 +175,7 @@ def main():
     print(f"# decode compile+first: {time.time() - t0:.0f} s",
           file=sys.stderr, flush=True)
     ok = np.asarray(res["ok"])
-    exact = sum(pipe.payload_bytes(res, i) == payloads[i]
+    exact = sum(pipe.payload_bytes(res, i) == payload_sets[0][i]
                 for i in range(batch))
     if not ok.all() or exact != batch:
         print(json.dumps({"metric": "decode correctness", "value": 0,
@@ -67,8 +188,6 @@ def main():
     # result to host each rep: block_until_ready does not actually block
     # through the axon tunnel, and identical inputs could be memoized.
     # Inputs are staged on device outside the timed loop.
-    from modem_tpu import cplx
-    import jax.numpy as jnp
     staged = [jnp.asarray(cplx.from_np(recs) * np.float32(s))
               for s in (1.02, 1.01, 0.99)]
     for s in staged:
@@ -79,19 +198,29 @@ def main():
         np.asarray(res["flips"])
     dt = (time.time() - t0) / reps
     fps = batch / dt
-    frame_s = cfg.frame_samples / cfg.rate     # on-air frame duration
     xrt = fps * frame_s
+
+    # ---- Pallas-vs-VM noisy parity on the real chip -------------------
+    t0 = time.time()
+    parity = scl_parity_check(pipe)
+    print(f"# scl parity check ({PARITY_FRAMES} noisy frames @ sigma "
+          f"{PARITY_SIGMA}): {'ok' if parity else 'MISMATCH'} "
+          f"({time.time() - t0:.0f} s)", file=sys.stderr, flush=True)
+
     print(json.dumps({
         "metric": "frames decoded/sec/chip (mode 6, 8 kHz, batch "
                   f"{batch}, bit-exact)",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(xrt / 1000.0, 4),
+        "encode_fps": round(enc_fps, 3),
+        "encode_x_realtime": round(enc_xrt, 1),
+        "scl_parity_tpu": parity,
     }))
     print(f"# {fps:.2f} frames/s = {xrt:.0f}x real time "
           f"(target 1000x); batch {batch}, {dt*1000:.0f} ms/batch",
           file=sys.stderr)
-    return 0
+    return 0 if parity else 1
 
 
 if __name__ == "__main__":

@@ -61,7 +61,7 @@ class Decoder:
     """Per-rate decoder; payload pipelines jit-specialise per mode."""
 
     def __init__(self, rate: int, list_size: int = 8,
-                 device_scl="auto"):
+                 device_scl="auto", scl_exact: bool = False):
         # mode choice does not affect the front-end/sync/header stages
         from .numerology import SUPPORTED_RATES
         if rate not in SUPPORTED_RATES:
@@ -69,6 +69,11 @@ class Decoder:
         self.rate = rate
         self.cfg = ModemConfig(rate=rate, mode=MODES[6], freq_off=0)
         self.list_size = list_size
+        # scl_exact: bit-by-bit-SCL-equivalent device schedule (no SPC
+        # leaves, L-1 RATE1 forks); default is the Fast-SSC-List
+        # schedule whose measured wire-size gap is 1 frame in 500
+        # (bench/ab_scl.py)
+        self.scl_exact = scl_exact
         # device_scl: run list decoding through the on-device schedule
         # VM / Pallas kernel instead of the host numpy reference.  The
         # numpy SCL is leaf-exact but takes ~minutes at the 2^16 wire
@@ -207,13 +212,15 @@ class Decoder:
                 if jax.default_backend() == "cpu":
                     from .fec.scl_vm import make_decoder
                     dec = jax.jit(make_decoder(code.frozen,
-                                               self.list_size))
+                                               self.list_size,
+                                               exact=self.scl_exact))
                 else:
                     # Pallas kernel: seconds to compile vs minutes for
                     # the 10k-op scan graph through the remote compiler
                     from .kernels.scl_pallas import make_pallas_decoder
                     one = jax.jit(make_pallas_decoder(
-                        code.frozen, self.list_size))
+                        code.frozen, self.list_size,
+                        exact=self.scl_exact))
                     dec = lambda llr: tuple(
                         r[0] for r in one(llr[None, :]))
                 self._device_scl_cache[mode.cons_bits] = dec

@@ -70,6 +70,16 @@ class Encoder:
 
         self._encode_jit = jax.jit(self._encode_traced,
                                    static_argnames=("n_frames",))
+        # one-frame recordings vmapped over a batch (the serving path)
+        self._encode_batch_jit = jax.jit(jax.vmap(
+            lambda m, f: self._encode_traced(m[None], f[None], 1)))
+
+        def _enc_pcm16(m, f):
+            wave, papr = self._encode_traced(m[None], f[None], 1)
+            q = jnp.clip(jnp.round(wave * 32767.0), -32768, 32767)
+            return q.astype(jnp.int16), papr
+
+        self._encode_pcm16_jit = jax.jit(jax.vmap(_enc_pcm16))
 
     # -- host-side metadata spectrum (encode.cc:155-179) -------------------
     def meta_fdom(self, call_sign: int) -> np.ndarray:
@@ -162,6 +172,36 @@ class Encoder:
             cplx.from_np(self.meta_fdom(call_sign)),
             (len(payloads), self.cfg.symbol_len, 2))
         wave, papr = self._encode_jit(mesg, meta, n_frames=len(payloads))
+        return cplx.to_np(wave), np.asarray(papr)
+
+
+    def encode_batch(self, payloads, call_sign: int,
+                     scramble: bool = True, pcm_bits: int = 0):
+        """Batch of INDEPENDENT single-frame recordings in one jit.
+
+        Unlike encode(list), which concatenates the frames into one
+        continuous transmission (encode.cc:289), every payload here
+        becomes its own recording [pilot | S&C | meta | pilot | rows |
+        flush] — the shape a batched serving decoder consumes.
+
+        pcm_bits=16 quantises on device (wav.hh semantics, matching
+        wav._quantize int16) and returns int16 [B, T, 2]: half the
+        host-fetch bytes, and the quantisation runs on the VPU instead
+        of the host codec.  pcm_bits=0 returns float32 complex.
+
+        Returns (waveforms [B, T] complex or [B, T, 2] int16,
+        papr [B, n_sym, 2]).
+        """
+        if scramble:
+            payloads = [B.scramble(p) for p in payloads]
+        mesg = jnp.asarray(np.stack([self.mesg_bits(p) for p in payloads]))
+        meta = jnp.asarray(np.broadcast_to(
+            cplx.from_np(self.meta_fdom(call_sign)),
+            (len(payloads), self.cfg.symbol_len, 2)))
+        if pcm_bits == 16:
+            wave, papr = self._encode_pcm16_jit(mesg, meta)
+            return np.asarray(wave), np.asarray(papr)
+        wave, papr = self._encode_batch_jit(mesg, meta)
         return cplx.to_np(wave), np.asarray(papr)
 
 

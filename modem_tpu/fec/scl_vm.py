@@ -74,8 +74,17 @@ class Schedule:
 
 
 @functools.lru_cache(maxsize=None)
-def build_schedule(frozen_key) -> Schedule:
-    """frozen_key: bytes of the frozen mask (hashable)."""
+def build_schedule(frozen_key, emit_spc: bool = True) -> Schedule:
+    """frozen_key: bytes of the frozen mask (hashable).
+
+    emit_spc=False decomposes single-parity-check nodes into subtrees
+    (left SPC child recursion terminates at width-2 REP leaves): with
+    RATE1 forking list_size-1 rounds, the resulting schedule is an
+    EXACT bit-by-bit SCL equivalent (Sarkis et al., "Fast List
+    Decoders for Polar Codes": min(L-1, w) serial least-reliable forks
+    reproduce rate-1 nodes exactly; REP/RATE0 are trivially exact) —
+    the SPC pair-flip leaf is the one remaining approximation.
+    """
     frozen = np.frombuffer(frozen_key, dtype=np.uint8)
     n = len(frozen)
     depths = n.bit_length()
@@ -145,7 +154,7 @@ def build_schedule(frozen_key) -> Schedule:
                 emit(OP_REP, d, w, side, src=lofs[d], bdst=own,
                      sidw=sid(d, side))
                 return
-            if s == 1 and fz[0] == 1:
+            if s == 1 and fz[0] == 1 and emit_spc:
                 # single parity check: list decode with exclusive
                 # pair-flip alternatives (Fast-SSC-List SPC node)
                 emit(OP_SPC, d, w, side, src=lofs[d], bdst=own,
@@ -193,7 +202,7 @@ def _select_paths(pm_cand, L):
 
 
 def make_batch_decoder(frozen: np.ndarray, batch: int,
-                       list_size: int = 8):
+                       list_size: int = 8, exact: bool = False):
     """Batched SCL decoder with a TPU-friendly buffer layout.
 
     State lives as [SZ, batch*list] so every chunk access is a
@@ -206,7 +215,9 @@ def make_batch_decoder(frozen: np.ndarray, batch: int,
     Returns fn: llrs [batch, code_len] -> (codewords [batch, L,
     code_len] 0/1, path metrics [batch, L]).
     """
-    sched = build_schedule(np.asarray(frozen, dtype=np.uint8).tobytes())
+    sched = build_schedule(np.asarray(frozen, dtype=np.uint8).tobytes(),
+                           emit_spc=not exact)
+    t_r1 = (list_size - 1) if exact else T_RATE1
     L = list_size
     B = batch
     W = B * L
@@ -226,11 +237,19 @@ def make_batch_decoder(frozen: np.ndarray, batch: int,
         return (p == lanes[None, :]).astype(jnp.float32)
 
     def lane_select(mat, s):
-        """mat [C, W] -> mat[:, lanes[l]] via the one-hot matmul."""
-        return jnp.dot(mat, s, preferred_element_type=jnp.float32)
+        """mat [C, W] -> mat[:, lanes[l]] via the one-hot matmul.
+
+        HIGHEST precision: the TPU MXU rounds f32 matmul inputs to
+        bf16 by default, which quantises LLR chunks and |llr| fork
+        metrics (see kernels/scl_pallas.py dot_sel for the measured
+        failure).  One-hot selects are exact under the bf16x3 path.
+        """
+        return jnp.dot(mat, s, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
 
     def int_select(mat, s):
-        """Integer minor-axis gather via f32 matmul (values < 2^20)."""
+        """Integer minor-axis gather via f32 matmul (values <= 512,
+        bf16-exact, so default MXU precision is lossless)."""
         out = jnp.dot(mat.astype(jnp.float32), s,
                       preferred_element_type=jnp.float32)
         return jnp.round(out).astype(jnp.int32)
@@ -316,7 +335,7 @@ def make_batch_decoder(frozen: np.ndarray, batch: int,
             iota_c = jnp.arange(CHUNK)[:, None]
             vals_l, idxs_l = [], []
             mag_t = mag
-            for _ in range(T_RATE1):
+            for _ in range(t_r1):
                 v = jnp.min(mag_t, axis=0)
                 at = jnp.min(jnp.where(mag_t == v[None, :], iota_c,
                                        CHUNK), axis=0)
@@ -327,7 +346,7 @@ def make_batch_decoder(frozen: np.ndarray, batch: int,
             idxs = jnp.stack(idxs_l, axis=1)
             gperm = jnp.arange(W)
             pm2 = pm
-            for r in range(T_RATE1):
+            for r in range(t_r1):
                 perm, flip, pm2 = select(pm2, vals[:, r])
                 s = lane_matrix(perm)
                 b_local = lane_select(b_local, s)
@@ -354,7 +373,7 @@ def make_batch_decoder(frozen: np.ndarray, batch: int,
             iota_c = jnp.arange(CHUNK)[:, None]
             vals_l, idxs_l = [], []
             mag_t = mag
-            for _k in range(T_RATE1):
+            for _k in range(t_r1):
                 v = jnp.min(mag_t, axis=0)
                 at = jnp.min(jnp.where(mag_t == v[None, :], iota_c,
                                        CHUNK), axis=0)
@@ -368,7 +387,7 @@ def make_batch_decoder(frozen: np.ndarray, batch: int,
                           odd[None, :], -b, b)
             switched = jnp.zeros((W,), jnp.bool_)
             gperm = jnp.arange(W)
-            for r in range(1, T_RATE1):
+            for r in range(1, t_r1):
                 delta = jnp.where(odd, vals[:, r] - vals[:, 0],
                                   vals[:, r] + vals[:, 0])
                 delta = jnp.where(switched, big, delta)
@@ -426,13 +445,18 @@ def make_batch_decoder(frozen: np.ndarray, batch: int,
     return decode
 
 
-def make_decoder(frozen: np.ndarray, list_size: int = 8):
+def make_decoder(frozen: np.ndarray, list_size: int = 8,
+                 exact: bool = False):
     """Compile an SCL decoder for one frozen mask.
 
     Returns a function llrs [code_len] -> (codewords [L, code_len] 0/1,
-    path metrics [L]); jit/vmap as needed.
+    path metrics [L]); jit/vmap as needed.  exact=True selects the
+    provably bit-by-bit-equivalent schedule (no SPC leaves, L-1 RATE1
+    fork rounds; see build_schedule) at ~1.5x the op count.
     """
-    sched = build_schedule(np.asarray(frozen, dtype=np.uint8).tobytes())
+    sched = build_schedule(np.asarray(frozen, dtype=np.uint8).tobytes(),
+                           emit_spc=not exact)
+    t_r1 = (list_size - 1) if exact else T_RATE1
     L = list_size
     n = sched.code_len
     big = jnp.float32(3.0e38)
@@ -504,11 +528,11 @@ def make_decoder(frozen: np.ndarray, list_size: int = 8):
             valid = jnp.arange(CHUNK) < row[C_WIDTH]
             mag = jnp.where(valid[None, :], jnp.abs(a), big)
             b_local = jnp.where(a < 0, -1.0, 1.0) * valid[None, :]
-            vals, idxs = jax.lax.top_k(-mag, T_RATE1)
+            vals, idxs = jax.lax.top_k(-mag, t_r1)
             vals = -vals
             gperm = jnp.arange(L)
             pm2 = pm
-            for r in range(T_RATE1):
+            for r in range(t_r1):
                 perm, flip, pm2 = _select_paths(
                     jnp.concatenate([pm2, pm2 + vals[:, r]]), L)
                 b_local = jnp.take(b_local, perm, axis=0)
@@ -534,7 +558,7 @@ def make_decoder(frozen: np.ndarray, list_size: int = 8):
             iota_c = jnp.arange(CHUNK)[None, :]
             vals_l, idxs_l = [], []
             mag_t = mag
-            for _k in range(T_RATE1):
+            for _k in range(t_r1):
                 v = jnp.min(mag_t, axis=-1)
                 at = jnp.min(jnp.where(mag_t == v[:, None], iota_c,
                                        CHUNK), axis=-1)
@@ -549,7 +573,7 @@ def make_decoder(frozen: np.ndarray, list_size: int = 8):
                           -b, b)
             switched = jnp.zeros((L,), jnp.bool_)
             gperm = jnp.arange(L)
-            for r in range(1, T_RATE1):
+            for r in range(1, t_r1):
                 delta = jnp.where(odd, vals[:, r] - v0,
                                   vals[:, r] + v0)
                 delta = jnp.where(switched, big, delta)

@@ -61,7 +61,7 @@ CHUNK2 = 128      # tier-2 tile width (node width <= 128)
 def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                         frames_per_cell: int = 1,
                         interpret: bool = False, ops_override=None,
-                        beta_bf16: bool = True):
+                        beta_bf16: bool = True, exact: bool = False):
     """Compile the Pallas SCL decoder for one frozen mask.
 
     Returns fn: llrs [batch, code_len] f32 -> (codewords [batch, L,
@@ -73,7 +73,9 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
     betas are only {-1, 0, +1} — halving that scratch so more frames
     fit per cell.
     """
-    sched = build_schedule(np.asarray(frozen, dtype=np.uint8).tobytes())
+    sched = build_schedule(np.asarray(frozen, dtype=np.uint8).tobytes(),
+                           emit_spc=not exact)
+    t_r1 = (list_size - 1) if exact else T_RATE1
     if ops_override is not None:
         import dataclasses as _dc
         sched = _dc.replace(sched, ops=np.asarray(ops_override,
@@ -269,6 +271,31 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
         """perm [P, 1] flat lanes -> M [P, P]: (M @ mat)[p] = mat[perm[p]]."""
         return (iota2((P, P), 1) == perm_col).astype(jnp.float32)
 
+    def dot_sel(m, x):
+        """One-hot select m @ x preserving FULL f32 on the values.
+
+        The MXU rounds f32 matmul inputs to bf16 (8-bit significand):
+        LLR chunks and path metrics in the thousands lose all sub-32
+        resolution, which collapses the list at low SNR (caught by
+        bench.py's real-chip noisy parity check; interpret mode hides
+        it).  Split x into three bf16-exact parts with disjoint
+        mantissa windows (hi/mid/lo, 8 bits each = the 24-bit f32
+        significand) and select each: every product is exact because
+        one-hot rows pick single elements, and the two adds are exact
+        because the windows are disjoint.  3 MXU passes vs 6 for
+        XLA-HIGHEST, exact where HIGHEST merely bounds error.
+
+        Only needed where the value operand is genuine f32 — betas
+        (+-1/0) and lane/index integers (< 512) are bf16-exact and use
+        plain dots.
+        """
+        hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+        rem = x - hi
+        mid = rem.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = rem - mid
+        d = lambda v: jnp.dot(m, v, preferred_element_type=jnp.float32)
+        return d(hi) + (d(mid) + d(lo))
+
     def make_select_l_smallest():
         """Returns select(keep_row [1,P], delta_col [P,1]) -> (perm
         [P,1] global source lanes, flip [P,1], pm [1,P]).
@@ -295,10 +322,23 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
 
         def to_lane(v):
             """[F, L] per-(frame, round) values -> [P, 1] per lane:
-            out[p] = v[f(p), l(p)] = diag(FSEL @ v @ LSEL)[p]."""
+            out[p] = v[f(p), l(p)] = diag(FSEL @ v @ LSEL)[p].
+            Used for candidate indices (< 2P, bf16-exact)."""
             a = jnp.dot(fsel, jnp.dot(v, lsel,
                                       preferred_element_type=jnp.float32),
                         preferred_element_type=jnp.float32)   # [P, P]
+            return jnp.sum(a * eye_p, axis=1, keepdims=True)
+
+        def to_lane_val(v):
+            """to_lane for genuine f32 values (path metrics): both
+            one-hot passes via the exact 3-way split (see dot_sel)."""
+            hi = v.astype(jnp.bfloat16).astype(jnp.float32)
+            rem = v - hi
+            mid = rem.astype(jnp.bfloat16).astype(jnp.float32)
+            lo = rem - mid
+            d = lambda p: jnp.dot(p, lsel,
+                                  preferred_element_type=jnp.float32)
+            a = dot_sel(fsel, d(hi) + (d(mid) + d(lo)))       # [P, P]
             return jnp.sum(a * eye_p, axis=1, keepdims=True)
 
         def select(keep_row, delta_col):
@@ -327,7 +367,7 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
             at_p = jnp.round(to_lane(at_all)).astype(jnp.int32)
             perm = at_p % P
             flip = jnp.where(at_p >= P, 1, 0)
-            return perm, flip, to_lane(m_all).T
+            return perm, flip, to_lane_val(m_all).T
 
         return select
 
@@ -350,15 +390,21 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
 
         # ---- helpers --------------------------------------------------
         def read_with(perm_col, buf, brow):
+            """Lane-permuted read of a bf16-exact buffer (betas)."""
             m = perm_matrix(perm_col)
             return jnp.dot(m, buf[brow].astype(jnp.float32),
                            preferred_element_type=jnp.float32)
 
+        def read_with_val(perm_col, buf, brow):
+            """Lane-permuted read of genuine f32 values (LLR tiles)."""
+            return dot_sel(perm_matrix(perm_col), buf[brow])
+
         def read_llr(d, brow):
-            return read_with(refs_s[pl.ds(d, 1), :P].T, llr_s, brow)
+            return read_with_val(refs_s[pl.ds(d, 1), :P].T, llr_s, brow)
 
         def read_llr2(d, brow):
-            return read_with(refs_s[pl.ds(d, 1), :P].T, llr2_s, brow)
+            return read_with_val(refs_s[pl.ds(d, 1), :P].T, llr2_s,
+                                 brow)
 
         def read_d0(brow):
             """Channel LLR chunk, shared per frame, broadcast to lanes
@@ -631,7 +677,7 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                     del w  # CW is a valid out-of-range sentinel for any w
                     vals_l, idxs_l = [], []
                     mag_t = mag
-                    for _k in range(T_RATE1):
+                    for _k in range(t_r1):
                         v = jnp.min(mag_t, axis=1, keepdims=True)
                         at = jnp.min(jnp.where(mag_t == v, iota, CW),
                                      axis=1, keepdims=True)
@@ -651,7 +697,7 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                     pm2 = pm_row()
                     # python loop: the optional carry payload makes the
                     # fori state shape conditional
-                    for _r in range(T_RATE1):
+                    for _r in range(t_r1):
                         v = jnp.min(mag, axis=1, keepdims=True)
                         at = jnp.min(jnp.where(mag == v, iota, CW),
                                      axis=1, keepdims=True)   # [P, 1]
@@ -660,9 +706,7 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                         b_local = jnp.dot(
                             pmat, b_local,
                             preferred_element_type=jnp.float32)
-                        mag = jnp.dot(
-                            pmat, mag,
-                            preferred_element_type=jnp.float32)
+                        mag = dot_sel(pmat, mag)
                         if carry is not None:
                             carry = jnp.dot(
                                 pmat, carry,
@@ -702,7 +746,7 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                     b = jnp.where((iota == i0) & odd, -b, b)
                     switched = jnp.zeros((P, 1), jnp.int32)
                     pm2 = pm
-                    for r in range(1, T_RATE1):
+                    for r in range(1, t_r1):
                         vr = vals[:, r:r + 1]
                         delta = jnp.where(odd, vr - vals[:, 0:1],
                                           vr + vals[:, 0:1])
@@ -711,9 +755,7 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                         pmat = perm_matrix(perm)
                         b = jnp.dot(pmat, b,
                                     preferred_element_type=jnp.float32)
-                        vals = jnp.dot(
-                            pmat, vals,
-                            preferred_element_type=jnp.float32)
+                        vals = dot_sel(pmat, vals)
                         idxs = jnp.round(jnp.dot(
                             pmat, idxs.astype(jnp.float32),
                             preferred_element_type=jnp.float32)
@@ -763,8 +805,7 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                     s_col = jnp.where(flip > 0, -1.0, 1.0).astype(
                         jnp.float32)                        # [P, 1]
                     pmat = perm_matrix(perm)
-                    x = jnp.dot(pmat, x,
-                                preferred_element_type=jnp.float32)
+                    x = dot_sel(pmat, x)
                     if carry is not None:
                         carry = jnp.dot(
                             pmat, carry,

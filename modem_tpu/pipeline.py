@@ -34,9 +34,16 @@ class BatchPipeline:
 
     def __init__(self, rate: int, oper_mode: int, list_size: int = 8,
                  mode_spec=None, symbol_len_override=None,
-                 scl_backend: str = "auto", frames_per_cell: int = 0):
+                 scl_backend: str = "auto", frames_per_cell: int = 0,
+                 scl_exact: bool = False):
         """scl_backend: 'pallas' (VMEM-resident kernel, TPU only),
         'xla' (lax.scan VM), or 'auto' (pallas on TPU, xla elsewhere).
+
+        scl_exact=True selects the provably bit-by-bit-SCL-equivalent
+        schedule (no SPC leaves, L-1 RATE1 fork rounds) at ~2x the op
+        count; the default Fast-SSC-List schedule's measured gap is
+        1 frame in 500 across the sensitivity edge (bench/ab_scl.py,
+        docs/PERFORMANCE.md).
 
         frames_per_cell: frames decoded together per Pallas grid cell
         (P = F*list lanes share one schedule pass; the per-op cost is
@@ -50,7 +57,9 @@ class BatchPipeline:
         self.code = PolarCode(n=mode.cons_bits, k=mode.crc_bits,
                               order=mode.code_order)
         self.sync = sync.Synchronizer(cfg)
-        self.scl = make_decoder(self.code.frozen, list_size)
+        self.scl_exact = scl_exact
+        self.scl = make_decoder(self.code.frozen, list_size,
+                                exact=scl_exact)
         self.crc_mat = np.asarray(
             B.crc32.check_matrix(mode.crc_bits), dtype=np.float32)
         self.list_size = list_size
@@ -66,7 +75,8 @@ class BatchPipeline:
         """Largest F dividing batch whose Pallas scratch fits VMEM."""
         from .fec.scl_vm import CHUNK, build_schedule
         sched = build_schedule(
-            np.asarray(self.code.frozen, dtype=np.uint8).tobytes())
+            np.asarray(self.code.frozen, dtype=np.uint8).tobytes(),
+            emit_spc=not self.scl_exact)
         split = sched.code_len > CHUNK  # depth-0 LLRs shared per frame
         d0 = sched.code_len if split else 0
         per_lane = (sched.sz_llr - d0) * 4 + sched.sz_beta * 2
@@ -98,9 +108,11 @@ class BatchPipeline:
                 F = self._auto_frames_per_cell(batch)
             return make_pallas_decoder(self.code.frozen,
                                        self.list_size,
-                                       frames_per_cell=F)
+                                       frames_per_cell=F,
+                                       exact=self.scl_exact)
         return make_batch_decoder(self.code.frozen, batch,
-                                  self.list_size)
+                                  self.list_size,
+                                  exact=self.scl_exact)
 
     def _fec_select(self, front, scl):
         """SCL + CRC32 lane select on a demodulated batch

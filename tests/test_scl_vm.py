@@ -62,6 +62,66 @@ def test_noisy_matches_numpy_quality(toy_dec):
     assert hits_vm >= 10
 
 
+def test_exact_mode_strict_toy_parity():
+    """exact=True (no SPC leaves, L-1 RATE1 forks) must reproduce the
+    bit-by-bit oracle's surviving set EXACTLY — codeword sets equal and
+    path metrics equal to f32 tolerance — not just recover the frame
+    (Sarkis et al. equivalence; VERDICT r1 task 1)."""
+    rng = np.random.default_rng(5)
+    dec = jax.jit(make_decoder(TOY.frozen, 8, exact=True))
+    cw, tx = _tx(rng)
+    for _ in range(10):
+        rx = tx + 0.6 * rng.standard_normal(TOY.n)
+        llr = TOY.lengthen_np(2 * rx / 0.36)
+        cws, pm = dec(jnp.asarray(llr.astype(np.float32)))
+        cnp, pnp = scl_decode_np(llr, TOY.frozen, 8)
+        assert np.allclose(np.sort(np.asarray(pm)), np.sort(pnp),
+                           rtol=1e-4, atol=1e-2)
+        assert (np.sort(np.asarray(cws), axis=0)
+                == np.sort(cnp, axis=0)).all()
+
+
+# Oracle outcomes from the wire-size A/B sweep (bench/ab_scl.py,
+# oracle cache bench/ab_scl_oracle_64800.json; seed scheme
+# int(sigma*1000)*100000 + i).  Fast mode (T=4, SPC leaves) matches
+# the oracle on 499/500 sweep frames; its one divergence is
+# (0.72, 52), which exact mode recovers.
+WIRE_ORACLE = [
+    (0.70, 0, True), (0.70, 1, True), (0.70, 2, True),
+    (0.72, 0, False),
+]
+WIRE_GAP_FRAME = (0.72, 52)
+
+
+def _wire_llr(code, sigma, i):
+    seed = int(sigma * 1000) * 100000 + i
+    rng = np.random.default_rng(seed)
+    m = rng.integers(0, 2, code.mesg_bits, dtype=np.uint8)
+    m[code.k:] = 0
+    cw = code.encode_systematic_np(m)
+    tx = 1.0 - 2.0 * code.shorten_np(cw).astype(np.float64)
+    rx = tx + sigma * rng.standard_normal(code.n)
+    return cw, code.lengthen_np(2.0 * rx / sigma**2).astype(np.float32)
+
+
+def test_wire_size_oracle_parity():
+    """Device decoders vs the exact-SCL oracle at the 2^16 WIRE size,
+    on seeded frames across the sensitivity edge (CLAUDE.md contract:
+    the device backends must match the oracle at wire size)."""
+    code = PolarCode(n=64800, k=43072, order=16)
+    dec = jax.jit(make_decoder(code.frozen, 8))
+    for sigma, i, expect in WIRE_ORACLE:
+        cw, llr = _wire_llr(code, sigma, i)
+        cws, _ = dec(jnp.asarray(llr))
+        hit = bool((np.asarray(cws) == cw).all(axis=1).any())
+        assert hit == expect, (sigma, i)
+    # the one sweep frame fast mode loses; exact mode recovers it
+    dec_x = jax.jit(make_decoder(code.frozen, 8, exact=True))
+    cw, llr = _wire_llr(code, *WIRE_GAP_FRAME)
+    cws, _ = dec_x(jnp.asarray(llr))
+    assert bool((np.asarray(cws) == cw).all(axis=1).any())
+
+
 def test_batched_vmap(toy_dec):
     rng = np.random.default_rng(2)
     cw, tx = _tx(rng)
