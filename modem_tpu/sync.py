@@ -92,12 +92,16 @@ def window_sum(x, w: int):
     return y[..., :t]
 
 
-def schmitt_falling(timing, lo: float, hi: float):
+def schmitt_falling(timing, lo: float, hi: float, carry=None):
     """Hysteresis trigger state + falling edges, vectorised.
 
     s[n] = (t[n] > hi) | (t[n] >= lo & s[n-1]) — an associative boolean
     recurrence composed with lax.associative_scan (decode.cc:49-50,
-    93-94).  Returns (collect_state, falling_edge).
+    93-94).  ``carry`` (scalar bool) seeds s[-1] so a long recording
+    can be scanned in chunks with the state threaded through (the
+    second scan element is the running AND of the lower-threshold
+    predicate, i.e. exactly the carry's survival mask).
+    Returns (collect_state, falling_edge).
     """
     a = timing > hi
     b = timing >= lo
@@ -107,9 +111,13 @@ def schmitt_falling(timing, lo: float, hi: float):
         a2, b2 = right
         return a2 | (b2 & a1), b2 & b1
 
-    s, _ = jax.lax.associative_scan(compose, (a, b), axis=-1)
-    prev = jnp.concatenate([jnp.zeros_like(s[..., :1]), s[..., :-1]],
-                           axis=-1)
+    s, ball = jax.lax.associative_scan(compose, (a, b), axis=-1)
+    if carry is None:
+        first = jnp.zeros_like(s[..., :1])
+    else:
+        s = s | (ball & carry)
+        first = jnp.broadcast_to(carry, s[..., :1].shape)
+    prev = jnp.concatenate([first, s[..., :-1]], axis=-1)
     return s, prev & ~s
 
 
@@ -148,6 +156,7 @@ class Synchronizer:
 
         self._metrics_jit = jax.jit(self._metrics)
         self._fine_jit = jax.jit(jax.vmap(self._fine_stage))
+        self._chunk_fns: dict[tuple, object] = {}
 
     # -- stage 1: whole-recording timing metric ---------------------------
     def _metrics(self, x):
@@ -187,22 +196,95 @@ class Synchronizer:
         pos_err = jnp.round(ang * L / (2.0 * np.pi)).astype(jnp.int32)
         return shift, pos_err, peak, nxt, ang
 
+    # -- chunked / whole-recording metric computation ----------------------
+    # Above this many samples scan() switches to the constant-device-
+    # memory chunked pass (the reference decodes arbitrarily long
+    # streams in a fixed 8640-sample BipBuffer, decode.cc:188-194,
+    # 294-301; this is SURVEY.md §5's long-signal analog).
+    CHUNK_AUTO_THRESHOLD = 1 << 23
+    CHUNK_DEFAULT = 1 << 20
+
+    def _chunk_fn(self, c: int, ctx: int):
+        """Jitted one-chunk metrics + Schmitt pass, O(chunk) device mem."""
+        key = (c, ctx)
+        fn = self._chunk_fns.get(key)
+        if fn is None:
+            def run(xs, carry):
+                t, p = self._metrics(xs)            # [ctx + c]
+                t = t[ctx: ctx + c]
+                p = p[ctx: ctx + c]
+                s, f = schmitt_falling(t, self.thr_lo, self.thr_hi,
+                                       carry)
+                return t, p, s, f, s[-1]
+
+            fn = jax.jit(run)
+            self._chunk_fns[key] = fn
+        return fn
+
+    def metrics_host(self, x: np.ndarray, chunk_samples=None):
+        """(timing, phase, state, falling) as HOST numpy arrays.
+
+        chunk_samples (or any recording above CHUNK_AUTO_THRESHOLD)
+        selects the chunked pass: overlapping windows whose starts and
+        left context are multiples of window_sum's 512-sample block
+        (so every window sum covers the same addends as the
+        whole-recording pass), with the Schmitt state threaded across
+        chunks via the carry.  Device memory is O(chunk) independent
+        of recording length.  Outputs match the whole-recording pass
+        to f32 reassociation tolerance (~1e-5 rel — XLA fuses the same
+        arithmetic differently per input shape; verified eager
+        computation is bitwise identical) and the post-fine-stage
+        candidates are identical (test_sync.py::test_chunked_scan).
+        """
+        x = np.asarray(x, dtype=np.float32)
+        t_all = x.shape[0]
+        n_out = t_all - 2 * self.L
+        if n_out <= 0:
+            z = np.zeros(max(n_out, 0), dtype=np.float32)
+            return z, z.copy(), z.astype(bool), z.astype(bool)
+        if chunk_samples is None:
+            if t_all <= self.CHUNK_AUTO_THRESHOLD:
+                timing, phase = self._metrics_jit(jnp.asarray(x))
+                state, falling = schmitt_falling(
+                    timing, self.thr_lo, self.thr_hi)
+                return (np.asarray(timing), np.asarray(phase),
+                        np.asarray(state), np.asarray(falling))
+            chunk_samples = self.CHUNK_DEFAULT
+        blk = 512                      # window_sum._BLK alignment
+        c = -(-int(chunk_samples) // blk) * blk
+        ctx = -(-(2 * self.L + self.match_len) // blk) * blk
+        outs = ([], [], [], [])
+        carry = jnp.asarray(False)
+        for n0 in range(0, n_out, c):
+            use_ctx = ctx if n0 else 0
+            lo = n0 - use_ctx
+            seg = x[lo: n0 + c + 2 * self.L]
+            want = use_ctx + c + 2 * self.L
+            if seg.shape[0] < want:
+                seg = np.concatenate([seg, np.zeros(
+                    (want - seg.shape[0], 2), np.float32)])
+            t, p, s, f, carry = self._chunk_fn(c, use_ctx)(
+                jnp.asarray(seg), carry)
+            keep = min(c, n_out - n0)
+            for acc, v in zip(outs, (t, p, s, f)):
+                acc.append(np.asarray(v)[:keep])
+        return tuple(np.concatenate(a) for a in outs)
+
     # -- public API --------------------------------------------------------
-    def scan(self, x: np.ndarray, max_candidates: int = 8):
+    def scan(self, x: np.ndarray, max_candidates: int = 8,
+             chunk_samples=None):
         """Find S&C preambles in a recording (complex np or [T,2] array).
 
         Returns SyncCandidates in time order with the reference's gates
         applied (peak > 4*next, |pos_err| <= guard/2; decode.cc:140-145).
+        Long recordings scan in constant device memory (metrics_host).
         """
         cfg = self.cfg
         L = self.L
         if np.iscomplexobj(x):
             x = cplx.from_np(x)
-        timing, phase = self._metrics_jit(jnp.asarray(x))
-        timing = np.asarray(timing)
-        phase = np.asarray(phase)
-        state, falling = (np.asarray(v) for v in schmitt_falling(
-            jnp.asarray(timing), self.thr_lo, self.thr_hi))
+        timing, phase, state, falling = self.metrics_host(
+            x, chunk_samples)
 
         events = []
         # examine a 4x margin of raw edges: spurious noise edges must

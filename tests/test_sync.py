@@ -65,6 +65,33 @@ def test_metrics_shapes_and_peak_position():
     assert abs(n_max - pos) < cfg.guard_len
 
 
+def test_chunked_scan():
+    """The constant-device-memory chunked pass must reproduce the
+    whole-recording metrics to f32-reassociation tolerance (XLA fuses
+    the same arithmetic differently per input shape; the chunk/context
+    alignment keeps the addend SETS identical) and the fine-stage
+    candidates exactly.  SURVEY §5 long-signal analog."""
+    from modem_tpu.parallel import toy_config, toy_recordings
+
+    recs, _ = toy_recordings(1, seed=9)
+    x = np.concatenate([np.asarray(recs[0])] * 6, axis=0)
+    sync = Synchronizer(toy_config())
+    tw, pw, sw, fw = sync.metrics_host(x)
+    tc, pc, sc, fc = sync.metrics_host(x, chunk_samples=2048)
+    # timing spans 0..match_len (threshold ~5.6); reassociation noise
+    # is ~5e-6 absolute, irrelevant to the trigger
+    assert np.allclose(tw, tc, rtol=1e-3, atol=1e-4)
+    assert np.allclose(pw, pc, rtol=1e-3, atol=1e-4)
+    assert (sw == sc).all() and (fw == fc).all()
+    cw = sync.scan(x, max_candidates=8)
+    cc = sync.scan(x, max_candidates=8, chunk_samples=2048)
+    assert len(cw) == len(cc)
+    for a, b in zip(cw, cc):
+        assert (a.p0, a.ok) == (b.p0, b.ok)
+        assert abs(a.cfo_rad - b.cfo_rad) < 1e-6
+    assert sum(c.ok for c in cw) >= 5
+
+
 def test_scan_reaches_late_frames():
     """Regression: the candidate cap applies to GATED candidates, with
     a 4x margin of raw edges — later frames must stay reachable (the
