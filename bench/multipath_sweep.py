@@ -1,14 +1,16 @@
 #!/usr/bin/env python
-"""Frame-success-rate sweep vs AWGN level (BASELINE config 4 evidence).
+"""Delay-spread envelope: frame success vs multipath spread.
 
-Encodes a batch of mode-6 frames, applies the reference impairment
-chain (multipath + CFO 234.567 Hz + SFO 147 ppm) plus a sweep of AWGN
-levels, and reports the frame success rate and mean bit flips at each
-level through the batched pipeline.
+VERDICT r1 task 5: the round-1 robustness table ran the invented 4-tap
+profile at spread=1; the reference demo runs its file at x10
+(README.md:49).  This sweeps the spread factor through and past the
+guard interval (160 samples at 8 kHz) at the demo's other settings
+(CFO 234.567 Hz, SFO 147 ppm, AWGN -30 dB) and reports where the chain
+degrades.  Taps beyond the guard are structural ISI for the wire
+format itself.
 
-Usage: python bench/ber_sweep.py [batch] [mode] [spread] [estimator]
-  spread: multipath delay-spread factor (default 10, the demo's x10)
-  estimator: disjoint (default) | all_pairs — Theil-Sen A/B switch
+Usage: python bench/multipath_sweep.py [batch] [mode] [estimator]
+  estimator: disjoint (default) | all_pairs  — Theil-Sen A/B switch
 """
 
 import sys
@@ -22,17 +24,15 @@ def main():
     from modem_tpu import apply_env_platform
     apply_env_platform()
     from modem_tpu import bits as B
-    from modem_tpu import channel
+    from modem_tpu import channel, track
     from modem_tpu.encoder import Encoder
     from modem_tpu.numerology import make_config
     from modem_tpu.pipeline import BatchPipeline
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     mode = int(sys.argv[2]) if len(sys.argv) > 2 else 6
-    spread = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    if len(sys.argv) > 4:
-        from modem_tpu import track
-        track.ESTIMATOR = sys.argv[4]
+    if len(sys.argv) > 3:
+        track.ESTIMATOR = sys.argv[3]
     cfg = make_config(8000, mode, 2000)
     enc = Encoder(cfg)
     rng = np.random.default_rng(0)
@@ -42,19 +42,19 @@ def main():
     sil = np.zeros(cfg.rate // 2, dtype=np.complex64)
     waves, _ = enc.encode_batch(payloads, B.base37_encode("N0CALL"))
     clean = [np.concatenate([sil, w, sil]) for w in waves]
+    max_delay = max(d for d, _ in channel.DEFAULT_MULTIPATH)
 
     pipe = BatchPipeline(8000, mode)
-    from modem_tpu import track as _track
-    print(f"mode {mode}, batch {batch}, spread x{spread}, Theil-Sen "
-          f"{_track.ESTIMATOR}; chain = multipath + CFO 234.567 Hz + "
-          "SFO 147 ppm + AWGN:", flush=True)
-    for awgn_db in [-40, -35, -30, -25, -22, -20, -18, -17, -16]:
+    print(f"mode {mode}, batch {batch}, Theil-Sen {track.ESTIMATOR}; "
+          f"chain = multipath(spread) + CFO 234.567 Hz + SFO 147 ppm "
+          f"+ AWGN -30 dB; guard {cfg.guard_len} samples:", flush=True)
+    for spread in [1, 5, 10, 13, 16, 20, 26]:
         recs = []
         for i, c in enumerate(clean):
             y = channel.multipath(c, spread=spread)
             y = channel.cfo(y, 234.567, cfg.rate)
             y = channel.sfo(y, 147.0)
-            y = channel.awgn(y, awgn_db, np.random.default_rng(100 + i))
+            y = channel.awgn(y, -30.0, np.random.default_rng(100 + i))
             recs.append(y[: len(clean[0])])
         res = pipe.decode_batch(np.stack(recs))
         ok = 0
@@ -62,8 +62,10 @@ def main():
             ok += (bool(np.asarray(res["ok"])[i]) and
                    pipe.payload_bytes(res, i) == payloads[i])
         flips = np.asarray(res["flips"])
-        print(f"  awgn {awgn_db:+d} dB: {ok}/{batch} frames bit-exact, "
-              f"mean flips {flips.mean():.0f}", flush=True)
+        print(f"  spread x{spread:2d} (max delay {spread * max_delay:4d}"
+              f" = {spread * max_delay / cfg.guard_len:4.2f} guard): "
+              f"{ok}/{batch} bit-exact, mean flips {flips.mean():.0f}",
+              flush=True)
 
 
 if __name__ == "__main__":

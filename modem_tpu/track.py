@@ -21,19 +21,52 @@ def _median_lower(v, count: int):
     return jnp.sort(v)[count // 2]
 
 
+# Which Theil-Sen variant derotate_rows uses (read at trace time).
+# "disjoint": O(n) pairs (i, i+n/2).  "all_pairs": the reference's
+# full O(n^2) estimator (decode.cc:488-494).  The A/B at the -18..-22
+# dB sensitivity edge and under deep multipath measured NO frame-level
+# difference between them (docs/PERFORMANCE.md "Theil-Sen A/B"), so
+# the 260x-smaller disjoint variant stays the default.
+ESTIMATOR = "disjoint"
+
+
 def theil_sen(x, y):
     """Robust line fit: median slope over disjoint pairs + median
     intercept (the O(n) Theil-Sen variant: pairs (i, i + n/2)).
 
-    x, y: [cols].  Returns (slope, yint).  The all-pairs variant sorts
-    O(cols^2) slopes — a multi-minute XLA compile and a large runtime
-    sort on TPU for no accuracy the tracking loop can use (an outlier
-    contaminates 1 of n/2 slopes here vs n-1 of n^2/2 there).
+    x, y: [cols].  Returns (slope, yint).  Robustness note: k outlier
+    points corrupt up to k of the n/2 disjoint slopes (breakdown 25%)
+    and ~kn of the all-pairs n(n-1)/2 slopes (breakdown ~29%, the
+    higher of the two) — the all-pairs estimator is the more robust
+    one in theory, but the measured frame-level difference at the
+    decode sensitivity edge and under deep multipath is nil; see
+    ESTIMATOR above.
     """
     cols = x.shape[-1]
     h = cols // 2
     slopes = (y[h: 2 * h] - y[:h]) / (x[h: 2 * h] - x[:h])
     slope = _median_lower(slopes, h)
+    resid = y - slope * x
+    yint = _median_lower(resid, cols)
+    return slope, yint
+
+
+def theil_sen_all_pairs(x, y):
+    """All-pairs Theil-Sen: the reference's exact estimator
+    (DSP::TheilSenEstimator<value,512>, decode.cc:488-494) — median
+    over all n(n-1)/2 pairwise slopes, intercept as median residual.
+
+    One broadcast subtraction + one sort of cols^2 values (~262k f32
+    at cols=512): trivial VPU work, no compile pathology measured
+    (0.5 s XLA-CPU / on-TPU compile as part of the payload graph).
+    """
+    cols = x.shape[-1]
+    dx = x[None, :] - x[:, None]
+    dy = y[None, :] - y[:, None]
+    iu = jnp.triu(jnp.ones((cols, cols), jnp.bool_), k=1)
+    slopes = jnp.where(iu, dy / jnp.where(iu, dx, 1.0), jnp.inf)
+    count = cols * (cols - 1) // 2
+    slope = jnp.sort(slopes.reshape(-1))[count // 2]
     resid = y - slope * x
     yint = _median_lower(resid, cols)
     return slope, yint
@@ -56,8 +89,10 @@ def derotate_rows(cons, code_off: int, mod_bits: int):
         cons[..., 1] * ref[..., 0] - cons[..., 0] * ref[..., 1],
         cons[..., 0] * ref[..., 0] + cons[..., 1] * ref[..., 1])
 
+    est = theil_sen_all_pairs if ESTIMATOR == "all_pairs" else theil_sen
+
     def fit(row_err):
-        return theil_sen(x, row_err)
+        return est(x, row_err)
 
     slopes, yints = jax.vmap(fit)(err)
     theta = -(slopes[:, None] * x[None, :] + yints[:, None])
