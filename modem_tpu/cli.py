@@ -23,11 +23,20 @@ from . import wav
 from .numerology import DATA_BYTES, MAX_CALL_SIGN, make_config
 
 
-def _read_input(name: str) -> bytes:
-    if name == "-":
+def _read_input(name: str, single: bool) -> bytes:
+    # '-' means stdin ONLY for a single input file (encode.cc:408-409:
+    # `argc == 9 && input_name[0] == '-'`); with multiple inputs it is
+    # a literal file name.
+    if name == "-" and single:
         data = sys.stdin.buffer.read(DATA_BYTES)
     else:
-        with open(name, "rb") as f:
+        try:
+            f = open(name, "rb")
+        except OSError:
+            print(f'Couldn\'t open file "{name}" for reading.',
+                  file=sys.stderr)           # encode.cc:411-413
+            raise SystemExit(1)
+        with f:
             data = f.read(DATA_BYTES)
     return data.ljust(DATA_BYTES, b"\xff")  # ifstream.get() past EOF
 
@@ -63,7 +72,7 @@ def cmd_encode(argv: list[str]) -> int:
         return 1
 
     from .encoder import Encoder
-    payloads = [_read_input(name) for name in inputs]
+    payloads = [_read_input(name, len(inputs) == 1) for name in inputs]
     enc = Encoder(cfg)
     wave_c, papr = enc.encode(payloads, call_sign)
 
@@ -109,22 +118,26 @@ def cmd_decode(argv: list[str]) -> int:
 
     samples = (data.samples[:, 0] if data.channels == 1
                else data.samples[:, :2])
-    res = dec.decode(samples, channels=data.channels, skip=skip)
-    print(f"symbol pos: {res.symbol_pos}", file=sys.stderr)
-    print(f"coarse cfo: {res.cfo_hz:.6g} Hz ", file=sys.stderr)
-    if res.oper_mode >= 0:
-        print(f"oper mode: {res.oper_mode}", file=sys.stderr)
-        print(f"call sign: {res.call_sign}", file=sys.stderr)
+    # the decoder emits the reference's stderr transcript itself
+    # (per-attempt sync prints, header statuses, demod dots, sfo/cfo,
+    # Es/N0, bit flips — decode.cc:400-555)
+    res = dec.decode(samples, channels=data.channels, skip=skip,
+                     log=sys.stderr)
     if not res.ok:
-        print(res.status, file=sys.stderr)
+        if res.status in ("no preamble found",
+                          "ran out of frames while skipping",
+                          "header window out of range"):
+            print(res.status, file=sys.stderr)
         return 1
-    print(f"coarse sfo: {res.sfo_ppm:.6g} ppm", file=sys.stderr)
-    snr = " ".join(f"{v:.4g}" for v in res.snr_db)
-    print(f"Es/N0 (dB): {snr}", file=sys.stderr)
-    print(f"bit flips: {res.bit_flips}", file=sys.stderr)
     if output_name == "-":
         output_name = "/dev/stdout"
-    with open(output_name, "wb") as f:
+    try:
+        f = open(output_name, "wb")
+    except OSError:
+        print(f'Couldn\'t open file "{output_name}" for writing.',
+              file=sys.stderr)               # decode.cc:609-611
+        return 1
+    with f:
         f.write(res.payload)
     return 0
 

@@ -122,7 +122,32 @@ class Decoder:
         cons = ofdm.demod_or_erase(carriers, prev)
         return jnp.clip(jnp.round(127.0 * cons[..., 0]), -128, 127)
 
-    def _decode_header(self, x: np.ndarray, cand: sync.SyncCandidate):
+    @staticmethod
+    def _validate_header(data: np.ndarray, emit=lambda s: None):
+        """71 decoded header bits -> ((mode, call), status).  Emits the
+        reference's stderr lines in its order — "oper mode" prints as
+        soon as the mode validates, BEFORE the callsign check
+        (decode.cc:422-446); error statuses match its text exactly."""
+        md = 0
+        for i in range(55):
+            md |= int(data[i]) << i
+        cs = 0
+        for i in range(16):
+            cs |= int(data[55 + i]) << i
+        if B.crc16.over_value(md << 9, 64) != cs:
+            return None, "header CRC error."
+        oper_mode = md & 255
+        if oper_mode not in MODES:
+            return None, f"operation mode {oper_mode} unsupported."
+        emit(f"oper mode: {oper_mode}")
+        call = md >> 8
+        if call == 0 or call >= MAX_CALL_SIGN:
+            return None, "call sign unsupported."
+        emit(f"call sign: {B.base37_decode(call).lstrip()}")
+        return (oper_mode, call), "ok"
+
+    def _decode_header(self, x: np.ndarray, cand: sync.SyncCandidate,
+                       emit=lambda s: None):
         cfg = self.cfg
         s, g = cfg.symbol_len, cfg.guard_len
         lo = cand.p0 + s + g
@@ -132,23 +157,58 @@ class Decoder:
                                 jnp.float32(cand.cfo_rad))
         data, unique = self._osd_jit(soft)
         if not bool(unique):
-            return None, "OSD error"
+            return None, "OSD error."
+        return self._validate_header(np.asarray(data), emit)
+
+    # -- batched header path (serving; decode.cc:398-446 over all
+    #    detected preambles in ONE jit) ---------------------------------
+    def _headers_batch_jit(self, batch: int):
+        fn = self._payload_cache.get(("headers", batch))
+        if fn is None:
+            def run(wins, cfos):
+                soft = jax.vmap(self._header_soft)(wins, cfos)
+                return jax.vmap(lambda s_: osd_decode(s_))(soft)
+            fn = jax.jit(run)
+            self._payload_cache[("headers", batch)] = fn
+        return fn
+
+    def decode_headers_batch(self, x: np.ndarray, cands):
+        """Demod + OSD + CRC16 for ALL sync candidates in one jitted
+        call (the auto-mode serving path's header stage; the
+        interactive decoder keeps the per-candidate retry loop).
+
+        Returns a list aligned with ``cands``: (oper_mode, call) or
+        None per candidate.  The batch pads to the next power of two
+        so jit shapes are reused across recordings.
+        """
+        cfg = self.cfg
+        s, g = cfg.symbol_len, cfg.guard_len
+        nc = len(cands)
+        if nc == 0:
+            return []
+        pad = 1 << max(0, (nc - 1).bit_length())
+        wins = np.zeros((pad, s, 2), dtype=np.float32)
+        cfos = np.zeros(pad, dtype=np.float32)
+        in_range = [False] * nc
+        for i, c in enumerate(cands):
+            lo = c.p0 + s + g
+            if lo < 0 or lo + s > len(x):
+                continue
+            in_range[i] = True
+            wins[i] = x[lo: lo + s]
+            cfos[i] = c.cfo_rad
+        data, unique = self._headers_batch_jit(pad)(
+            jnp.asarray(wins), jnp.asarray(cfos))
         data = np.asarray(data)
-        md = 0
-        for i in range(55):
-            md |= int(data[i]) << i
-        cs = 0
-        for i in range(16):
-            cs |= int(data[55 + i]) << i
-        if B.crc16.over_value(md << 9, 64) != cs:
-            return None, "header CRC error"
-        oper_mode = md & 255
-        if oper_mode not in MODES:
-            return None, f"operation mode {oper_mode} unsupported"
-        call = md >> 8
-        if call == 0 or call >= MAX_CALL_SIGN:
-            return None, "call sign unsupported"
-        return (oper_mode, call), "ok"
+        unique = np.asarray(unique)
+        out = []
+        for i in range(nc):
+            if not in_range[i] or not unique[i]:
+                out.append(None)
+                continue
+            hdr, _status = self._validate_header(data[i])
+            out.append(hdr)
+        return out
 
     # ------------------------------------------------------------------
     # payload stage (decode.cc:453-529)
@@ -252,8 +312,20 @@ class Decoder:
     # public API (decode.cc:559-620 semantics)
     # ------------------------------------------------------------------
     def decode(self, samples: np.ndarray, channels: int = 1,
-               skip: int = 0) -> DecodeResult:
-        """samples: [T] real mono or complex/[T,2] analytic recording."""
+               skip: int = 0, log=None) -> DecodeResult:
+        """samples: [T] real mono or complex/[T,2] analytic recording.
+
+        ``log``: optional text stream; when given, the decoder emits
+        the reference binary's stderr transcript line-for-line
+        (per-attempt sync position and coarse CFO decode.cc:400-401,
+        header statuses :417-446, per-row demod dots :463-478, sfo/cfo
+        :502-503, Es/N0 :506-523, bit flips :555).  The demod dots are
+        emitted together after the batched row FFT returns — the
+        transcript matches the reference at stage completion, not
+        sample-by-sample.
+        """
+        emit = ((lambda m: print(m, file=log, flush=True))
+                if log is not None else (lambda m: None))
         if channels == 1 and not np.iscomplexobj(samples):
             x = np.asarray(self._frontend_jit(
                 jnp.asarray(samples, dtype=jnp.float32)))
@@ -267,9 +339,13 @@ class Decoder:
         for cand in self.sync.scan(x):
             if not cand.ok:
                 continue
-            hdr, status = self._decode_header(x, cand)
+            emit(f"symbol pos: {cand.p0}")
+            emit(f"coarse cfo: "
+                 f"{cand.cfo_rad * self.rate / (2 * np.pi):.6g} Hz ")
+            hdr, status = self._decode_header(x, cand, emit)
             result.status = status
             if hdr is None:
+                emit(status)
                 continue
             if skip > 0:
                 skip -= 1
@@ -280,10 +356,18 @@ class Decoder:
             result.call_sign = B.base37_decode(call).lstrip()
             result.symbol_pos = cand.p0
             result.cfo_hz = cand.cfo_rad * self.rate / (2 * np.pi)
+            rows = MODES[oper_mode].cons_rows
             pay = self._decode_payload(x, cand, oper_mode)
+            emit("demod " + "." * rows + " done")
             if pay is None:
-                result.status = "payload decoding error"
+                result.status = "payload decoding error."
+                emit(result.status)
                 return result
+            emit(f"coarse sfo: {pay['sfo_ppm']:.6g} ppm")
+            emit(f"finer cfo: {pay['cfo_hz']:.6g} Hz ")
+            emit("Es/N0 (dB): "
+                 + " ".join(f"{v:.6g}" for v in pay["snr"]))
+            emit(f"bit flips: {pay['flips']}")
             result.ok = True
             result.payload = pay["payload"]
             result.bit_flips = pay["flips"]

@@ -356,11 +356,13 @@ def decode_recording_auto(x, rate: int, channels: int = 2,
         x = _cplx.from_np(x)
     x = np.asarray(x, dtype=np.float32)
 
+    # Header stage: ONE jitted demod+OSD batch over every detected
+    # preamble (decode.cc:398-446; was a per-frame host loop, VERDICT
+    # r1 task 3) — the payload stage below batches per mode group.
+    cands = [c for c in dec.sync.scan(x, max_candidates=max_frames)
+             if c.ok]
     frames = []          # (pos, mode, call)
-    for c in dec.sync.scan(x, max_candidates=max_frames):
-        if not c.ok:
-            continue
-        hdr, _status = dec._decode_header(x, c)
+    for c, hdr in zip(cands, dec.decode_headers_batch(x, cands)):
         if hdr is None:
             continue
         oper_mode, call = hdr

@@ -201,7 +201,7 @@ class Synchronizer:
     # memory chunked pass (the reference decodes arbitrarily long
     # streams in a fixed 8640-sample BipBuffer, decode.cc:188-194,
     # 294-301; this is SURVEY.md §5's long-signal analog).
-    CHUNK_AUTO_THRESHOLD = 1 << 23
+    CHUNK_AUTO_THRESHOLD = 1 << 21
     CHUNK_DEFAULT = 1 << 20
 
     def _chunk_fn(self, c: int, ctx: int):
