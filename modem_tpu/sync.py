@@ -121,6 +121,41 @@ def schmitt_falling(timing, lo: float, hi: float, carry=None):
     return s, prev & ~s
 
 
+def segmented_argmax(v, idx, payload, seg_start, carry=None):
+    """Running argmax that resets at segment starts, vectorised.
+
+    At each position n the result is (max value, its index, its
+    payload) over the maximal run of positions ending at n with no
+    segment start strictly after the run's first element.  Ties keep
+    the EARLIEST index (np.argmax semantics).  ``carry`` is a
+    (value, index, payload) tuple seeding position -1 (for chunked
+    scans over long recordings).  Standard segmented-scan operator:
+    op((a, g1), (b, g2)) = (g2 ? b : max(a, b), g1 | g2).
+    """
+    if carry is not None:
+        cv, ci, cp = carry
+        v = jnp.concatenate([cv[None], v])
+        idx = jnp.concatenate([ci[None], idx])
+        payload = jnp.concatenate([cp[None], payload])
+        seg_start = jnp.concatenate(
+            [jnp.zeros((1,), seg_start.dtype), seg_start])
+
+    def combine(left, right):
+        v1, i1, p1, g1 = left
+        v2, i2, p2, g2 = right
+        take_r = g2 | (v2 > v1)
+        return (jnp.where(take_r, v2, v1),
+                jnp.where(take_r, i2, i1),
+                jnp.where(take_r, p2, p1),
+                g1 | g2)
+
+    rv, ri, rp, _ = jax.lax.associative_scan(
+        combine, (v, idx, payload, seg_start))
+    if carry is not None:
+        rv, ri, rp = rv[1:], ri[1:], rp[1:]
+    return rv, ri, rp
+
+
 @dataclasses.dataclass
 class SyncCandidate:
     p0: int           # recording index of the S&C symbol payload start
@@ -157,6 +192,7 @@ class Synchronizer:
         self._metrics_jit = jax.jit(self._metrics)
         self._fine_jit = jax.jit(jax.vmap(self._fine_stage))
         self._chunk_fns: dict[tuple, object] = {}
+        self._extract_fns: dict[tuple, object] = {}
 
     # -- stage 1: whole-recording timing metric ---------------------------
     def _metrics(self, x):
@@ -270,6 +306,85 @@ class Synchronizer:
                 acc.append(np.asarray(v)[:keep])
         return tuple(np.concatenate(a) for a in outs)
 
+    # -- device-side candidate extraction -----------------------------------
+    def _extract_fn(self, c: int, ctx: int, k: int):
+        """Jitted one-chunk metrics + Schmitt + segmented-argmax pass.
+
+        Returns only the first ``k`` falling edges of the chunk with
+        their collect-region argmax index and fractional-CFO phase —
+        O(k) host fetch instead of the O(chunk) timing/phase/state
+        arrays (the TPU-native replacement for the reference's
+        per-sample host tracker, decode.cc:84-152; the argmax-with-
+        reset recurrence is decode.cc:95-101 as a segmented scan).
+        """
+        key = (c, ctx, k)
+        fn = self._extract_fns.get(key)
+        if fn is None:
+            md = self.match_del
+
+            def run(seg, n0, st_carry, mx_carry):
+                t, p = self._metrics(seg)            # [ctx + c]
+                # p[n - match_del], clamped at the recording start
+                # (== host path's phase[max(n_max - match_del, 0)])
+                psh = jnp.concatenate([jnp.full((md,), p[0]), p[:-md]])
+                t_c = t[ctx: ctx + c]
+                psh_c = psh[ctx: ctx + c]
+                s, f = schmitt_falling(t_c, self.thr_lo, self.thr_hi,
+                                       st_carry)
+                prev_s = jnp.concatenate([st_carry[None], s[:-1]])
+                idx = n0 + jnp.arange(c, dtype=jnp.int32)
+                rv, ri, rp = segmented_argmax(
+                    jnp.where(s, t_c, -jnp.inf), idx, psh_c, ~prev_s,
+                    mx_carry)
+                # at a falling edge e the scan value equals the run
+                # max at e-1 (the edge element is -inf, no reset)
+                edges = jnp.nonzero(f, size=k, fill_value=-1)[0]
+                return (edges.astype(jnp.int32), ri[edges], rp[edges],
+                        jnp.sum(f), s[-1], (rv[-1], ri[-1], rp[-1]))
+
+            fn = jax.jit(run)
+            self._extract_fns[key] = fn
+        return fn
+
+    def _events_device(self, x: np.ndarray, chunk_samples: int,
+                       max_edges: int):
+        """(edge, n_max, phase[n_max - match_del]) for the first
+        ``max_edges`` falling edges, computed chunk-by-chunk on device
+        with O(chunk) memory and O(max_edges) host transfer.  Same
+        chunk/context block alignment as metrics_host, Schmitt state
+        and running argmax threaded across chunks.  Caveat vs the host
+        path: at most ``max_edges`` edges are taken per chunk (a chunk
+        with more is pathological noise; the host path's global cap
+        would have exhausted its margin anyway)."""
+        t_all = x.shape[0]
+        n_out = t_all - 2 * self.L
+        if n_out <= 0:
+            return []
+        c = -(-int(chunk_samples) // _BLK) * _BLK
+        ctx = -(-(2 * self.L + self.match_len) // _BLK) * _BLK
+        st = jnp.asarray(False)
+        mx = (jnp.float32(-np.inf), jnp.int32(0), jnp.float32(0.0))
+        events = []
+        for n0 in range(0, n_out, c):
+            use_ctx = ctx if n0 else 0
+            seg = x[n0 - use_ctx: n0 + c + 2 * self.L]
+            want = use_ctx + c + 2 * self.L
+            if seg.shape[0] < want:
+                seg = np.concatenate([seg, np.zeros(
+                    (want - seg.shape[0], 2), np.float32)])
+            edges, nmax, ph, _ne, st, mx = self._extract_fn(
+                c, use_ctx, max_edges)(jnp.asarray(seg),
+                                       jnp.int32(n0), st, mx)
+            edges, nmax, ph = (np.asarray(v) for v in (edges, nmax, ph))
+            keep = min(c, n_out - n0)
+            for j in range(max_edges):
+                if 0 <= edges[j] < keep:     # skip fill & padded tail
+                    events.append((n0 + int(edges[j]), int(nmax[j]),
+                                   float(ph[j])))
+            if len(events) >= max_edges:
+                break
+        return events[:max_edges]
+
     # -- public API --------------------------------------------------------
     def scan(self, x: np.ndarray, max_candidates: int = 8,
              chunk_samples=None):
@@ -277,28 +392,39 @@ class Synchronizer:
 
         Returns SyncCandidates in time order with the reference's gates
         applied (peak > 4*next, |pos_err| <= guard/2; decode.cc:140-145).
-        Long recordings scan in constant device memory (metrics_host).
+        Long recordings (or an explicit chunk_samples) scan chunk-by-
+        chunk with device-side candidate extraction: constant device
+        memory AND O(candidates) host transfer regardless of length.
         """
         cfg = self.cfg
         L = self.L
         if np.iscomplexobj(x):
             x = cplx.from_np(x)
-        timing, phase, state, falling = self.metrics_host(
-            x, chunk_samples)
-
-        events = []
+        x = np.asarray(x, dtype=np.float32)
         # examine a 4x margin of raw edges: spurious noise edges must
         # not consume candidate slots ahead of real, later frames
-        for edge in np.nonzero(falling)[0][: 4 * max_candidates]:
-            # start of the collect region that ends at this edge
-            prior = np.nonzero(~state[:edge])[0]
-            rstart = prior[-1] + 1 if len(prior) else 0
-            n_max = rstart + int(np.argmax(timing[rstart:edge]))
+        max_edges = 4 * max_candidates
+
+        if chunk_samples is not None or x.shape[0] > self.CHUNK_AUTO_THRESHOLD:
+            raw = self._events_device(
+                x, chunk_samples or self.CHUNK_DEFAULT, max_edges)
+        else:
+            timing, phase, state, falling = self.metrics_host(x)
+            raw = []
+            for edge in np.nonzero(falling)[0][:max_edges]:
+                # start of the collect region that ends at this edge
+                prior = np.nonzero(~state[:edge])[0]
+                rstart = prior[-1] + 1 if len(prior) else 0
+                n_max = rstart + int(np.argmax(timing[rstart:edge]))
+                raw.append((int(edge), n_max,
+                            float(phase[max(n_max - self.match_del, 0)])))
+
+        events = []
+        for edge, n_max, ph in raw:
             index_max = min(edge - 1 - n_max + self.match_del,
                             L + cfg.guard_len + self.match_del)
             p0 = (edge - 1) - index_max   # == n_max - match_del if uncapped
-            fc = float(phase[max(n_max - self.match_del, 0)]) / L
-            events.append((p0, fc))
+            events.append((p0, ph / L))
         if not events:
             return []
 

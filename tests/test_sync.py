@@ -92,6 +92,32 @@ def test_chunked_scan():
     assert sum(c.ok for c in cw) >= 5
 
 
+def test_device_extraction_matches_host_scan():
+    """The device-side segmented-argmax candidate extraction (O(k)
+    host fetch) must reproduce the host-numpy edge walk exactly —
+    including Schmitt-state and running-argmax carries across chunk
+    boundaries that land mid-plateau, noise-induced spurious edges,
+    and first-max tie semantics."""
+    from modem_tpu.parallel import toy_config, toy_recordings
+
+    recs, _ = toy_recordings(1, seed=3)
+    one = np.asarray(recs[0])
+    rng = np.random.default_rng(42)
+    x = np.concatenate([one] * 5, axis=0)
+    x = x + rng.normal(0, 0.02, x.shape).astype(np.float32)
+    sync = Synchronizer(toy_config())
+    host = sync.scan(x, max_candidates=8)
+    assert sum(c.ok for c in host) >= 4
+    # chunk sizes chosen so boundaries sweep across the S&C plateaus
+    for chunk in (1024, 1536, 2048, 4096):
+        dev = sync.scan(x, max_candidates=8, chunk_samples=chunk)
+        assert len(dev) == len(host), chunk
+        for a, b in zip(host, dev):
+            assert (a.p0, a.ok) == (b.p0, b.ok), chunk
+            assert abs(a.cfo_rad - b.cfo_rad) < 1e-6, chunk
+            assert abs(a.frac_cfo - b.frac_cfo) < 1e-6, chunk
+
+
 def test_scan_reaches_late_frames():
     """Regression: the candidate cap applies to GATED candidates, with
     a 4x margin of raw edges — later frames must stay reachable (the
