@@ -75,6 +75,26 @@ def sharded_decode_batched(pipe: BatchPipeline, mesh: Mesh,
     return jax.jit(fn)
 
 
+def sharded_sync(cfg: ModemConfig, mesh: Mesh):
+    """A Synchronizer whose chunked scan shards the CHUNK axis over
+    the mesh — the context-parallelism analog (SURVEY.md §5: a long
+    recording splits into overlapping windows scanned in parallel;
+    the reference walks the same stream sample-by-sample through one
+    BipBuffer, decode.cc:188-194).
+
+    Each device computes metrics + Schmitt + segmented argmax for its
+    chunks; the only cross-device traffic is the per-chunk summary
+    scan (a handful of scalars per chunk, composed with the same
+    associative operators that thread carries between super-batches)
+    and the final O(candidates) edge gather.  Candidates are exactly
+    those of the single-device scan (test_parallel.py)."""
+    from .sync import Synchronizer
+
+    sync = Synchronizer(cfg)
+    sync.mesh = mesh
+    return sync
+
+
 # ---------------------------------------------------------------------------
 # Toy end-to-end configuration (tiny shapes, real pipeline code paths)
 # ---------------------------------------------------------------------------

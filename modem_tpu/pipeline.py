@@ -377,6 +377,10 @@ def decode_recording_auto(x, rate: int, channels: int = 2,
         pipe = cached_pipeline(rate, m)
         wins, _ = pipe.windows_at(x, [frames[i][0] for i in idxs])
         res = pipe.decode_windows(wins)
+        # fetch each result array ONCE per group: per-frame device
+        # reads are one tunnel round trip each (measured ~2.4 s of a
+        # 3.7 s decode-all pass before this)
+        res = {k: np.asarray(v) for k, v in res.items()}
         for j, i in enumerate(idxs):
             results[i] = (pipe, res, j)
     for i, (p0, m, call) in enumerate(frames):

@@ -131,6 +131,10 @@ def segmented_argmax(v, idx, payload, seg_start, carry=None):
     (value, index, payload) tuple seeding position -1 (for chunked
     scans over long recordings).  Standard segmented-scan operator:
     op((a, g1), (b, g2)) = (g2 ? b : max(a, b), g1 | g2).
+
+    Returns (max value, index, payload, any-segment-start-in-prefix);
+    the fourth output lets a chunked caller compose results across
+    chunk boundaries with the same operator.
     """
     if carry is not None:
         cv, ci, cp = carry
@@ -140,20 +144,21 @@ def segmented_argmax(v, idx, payload, seg_start, carry=None):
         seg_start = jnp.concatenate(
             [jnp.zeros((1,), seg_start.dtype), seg_start])
 
-    def combine(left, right):
-        v1, i1, p1, g1 = left
-        v2, i2, p2, g2 = right
-        take_r = g2 | (v2 > v1)
-        return (jnp.where(take_r, v2, v1),
-                jnp.where(take_r, i2, i1),
-                jnp.where(take_r, p2, p1),
-                g1 | g2)
-
-    rv, ri, rp, _ = jax.lax.associative_scan(
-        combine, (v, idx, payload, seg_start))
+    rv, ri, rp, rg = jax.lax.associative_scan(
+        _seg_argmax_op, (v, idx, payload, seg_start))
     if carry is not None:
-        rv, ri, rp = rv[1:], ri[1:], rp[1:]
-    return rv, ri, rp
+        rv, ri, rp, rg = rv[1:], ri[1:], rp[1:], rg[1:]
+    return rv, ri, rp, rg
+
+
+def _seg_argmax_op(left, right):
+    v1, i1, p1, g1 = left
+    v2, i2, p2, g2 = right
+    take_r = g2 | (v2 > v1)        # strict > keeps the EARLIEST max
+    return (jnp.where(take_r, v2, v1),
+            jnp.where(take_r, i2, i1),
+            jnp.where(take_r, p2, p1),
+            g1 | g2)
 
 
 @dataclasses.dataclass
@@ -193,20 +198,36 @@ class Synchronizer:
         self._fine_jit = jax.jit(jax.vmap(self._fine_stage))
         self._chunk_fns: dict[tuple, object] = {}
         self._extract_fns: dict[tuple, object] = {}
+        # optional jax.sharding.Mesh: shards the chunk axis of the
+        # batched scan across devices (parallel.sharded_sync)
+        self.mesh = None
 
     # -- stage 1: whole-recording timing metric ---------------------------
-    def _metrics(self, x):
+    def _metrics(self, x, valid_from=None):
         """x: [T, 2] split-complex recording -> (timing, phase) arrays
         indexed so that timing[n] corresponds to a S&C symbol whose
-        payload starts at n - match_del (before the fine correction)."""
+        payload starts at n - match_del (before the fine correction).
+
+        ``valid_from`` (traced scalar): zero the correlation products
+        and power terms at indices below it.  A chunk whose left
+        context is zero-PADDING (the recording start) still produces
+        nonzero products there — both factors sit L/2L PAST the pad,
+        in real data — which the whole-recording pass never sums
+        (its window_sum zero-fills before index 0); masking restores
+        exact agreement."""
         L = self.L
         a = x[L:-L]                              # x[v + L]
         b = x[2 * L:]                            # x[v + 2L]
         a = a[: b.shape[0]]
         prod = cplx.cmul_conj(a, b)
+        pb = cplx.abs2(b)
+        if valid_from is not None:
+            mask = jnp.arange(prod.shape[0]) >= valid_from
+            prod = prod * mask[:, None]
+            pb = pb * mask
         p_re = window_sum(prod[..., 0], L)
         p_im = window_sum(prod[..., 1], L)
-        power = window_sum(cplx.abs2(b), 2 * L)
+        power = window_sum(pb, 2 * L)
         r = jnp.maximum(0.5 * power, 1e-4 * L)
         timing = window_sum((p_re**2 + p_im**2) / (r * r), self.match_len)
         phase = jnp.arctan2(p_im, p_re)
@@ -239,6 +260,7 @@ class Synchronizer:
     # 294-301; this is SURVEY.md §5's long-signal analog).
     CHUNK_AUTO_THRESHOLD = 1 << 21
     CHUNK_DEFAULT = 1 << 20
+    CHUNK_SMALL = 1 << 17       # ladder size for sub-2M recordings
 
     def _chunk_fn(self, c: int, ctx: int):
         """Jitted one-chunk metrics + Schmitt pass, O(chunk) device mem."""
@@ -307,54 +329,118 @@ class Synchronizer:
         return tuple(np.concatenate(a) for a in outs)
 
     # -- device-side candidate extraction -----------------------------------
-    def _extract_fn(self, c: int, ctx: int, k: int):
-        """Jitted one-chunk metrics + Schmitt + segmented-argmax pass.
+    # Chunks are processed in super-batches of up to this many per jit
+    # call: the per-chunk work vmaps (parallel across the chip — or a
+    # mesh, see parallel.sharded_scan), and the cross-chunk Schmitt /
+    # argmax carries are recovered by composing per-chunk summaries
+    # with the same associative operators (a two-level Blelloch scan).
+    MAX_CHUNKS_PER_CALL = 16
 
-        Returns only the first ``k`` falling edges of the chunk with
+    def _extract_batch_fn(self, c: int, ctx: int, k: int, m: int):
+        """Jitted m-chunk metrics + Schmitt + segmented-argmax pass.
+
+        Returns only the first ``k`` falling edges of each chunk with
         their collect-region argmax index and fractional-CFO phase —
-        O(k) host fetch instead of the O(chunk) timing/phase/state
+        O(m*k) host fetch instead of the O(T) timing/phase/state
         arrays (the TPU-native replacement for the reference's
         per-sample host tracker, decode.cc:84-152; the argmax-with-
-        reset recurrence is decode.cc:95-101 as a segmented scan).
+        reset peak tracker decode.cc:95-101 is a segmented scan).
         """
-        key = (c, ctx, k)
+        key = (c, ctx, k, m)
         fn = self._extract_fns.get(key)
         if fn is None:
             md = self.match_del
 
-            def run(seg, n0, st_carry, mx_carry):
-                t, p = self._metrics(seg)            # [ctx + c]
-                # p[n - match_del], clamped at the recording start
-                # (== host path's phase[max(n_max - match_del, 0)])
+            def chunk_metrics(seg, n0):
+                # chunk 0's left context is recording-start zero pad:
+                # mask its product terms (see _metrics docstring)
+                t, p = self._metrics(
+                    seg, valid_from=jnp.where(n0 == 0, ctx, 0))
+                # p[n - match_del]; at the recording start the host
+                # path clamps to phase[0] == p[ctx] of chunk 0
                 psh = jnp.concatenate([jnp.full((md,), p[0]), p[:-md]])
                 t_c = t[ctx: ctx + c]
                 psh_c = psh[ctx: ctx + c]
-                s, f = schmitt_falling(t_c, self.thr_lo, self.thr_hi,
-                                       st_carry)
-                prev_s = jnp.concatenate([st_carry[None], s[:-1]])
-                idx = n0 + jnp.arange(c, dtype=jnp.int32)
-                rv, ri, rp = segmented_argmax(
-                    jnp.where(s, t_c, -jnp.inf), idx, psh_c, ~prev_s,
-                    mx_carry)
-                # at a falling edge e the scan value equals the run
-                # max at e-1 (the edge element is -inf, no reset)
-                edges = jnp.nonzero(f, size=k, fill_value=-1)[0]
-                return (edges.astype(jnp.int32), ri[edges], rp[edges],
-                        jnp.sum(f), s[-1], (rv[-1], ri[-1], rp[-1]))
+                j = jnp.arange(c)
+                psh_c = jnp.where((n0 == 0) & (j < md), p[ctx], psh_c)
+                return t_c, psh_c
 
-            fn = jax.jit(run)
+            def compose(lft, rgt):
+                a1, b1 = lft
+                a2, b2 = rgt
+                return a2 | (b2 & a1), b2 & b1
+
+            def run(segs, n0s, st_carry, mx_carry):
+                t_c, psh_c = jax.vmap(chunk_metrics)(segs, n0s)
+                # Schmitt per chunk, then cross-chunk carry recovery
+                a = t_c > self.thr_hi
+                b = t_c >= self.thr_lo
+                s0, ball = jax.lax.associative_scan(
+                    compose, (a, b), axis=-1)
+                sa, sb = jax.lax.associative_scan(
+                    compose, (s0[:, -1], ball[:, -1]), axis=0)
+                carry_st = jnp.concatenate(
+                    [st_carry[None], sa[:-1] | (sb[:-1] & st_carry)])
+                st_out = sa[-1] | (sb[-1] & st_carry)
+                s = s0 | (ball & carry_st[:, None])
+                prev_s = jnp.concatenate(
+                    [carry_st[:, None], s[:, :-1]], axis=1)
+                f = prev_s & ~s
+                # segmented argmax per chunk (corrected state), then
+                # cross-chunk carry recovery with the same operator
+                idx = (n0s[:, None]
+                       + jnp.arange(c, dtype=jnp.int32)[None, :])
+                rv0, ri0, rp0, rg0 = jax.vmap(segmented_argmax)(
+                    jnp.where(s, t_c, -jnp.inf), idx, psh_c, ~prev_s)
+                iv, ii, ip, ig = jax.lax.associative_scan(
+                    _seg_argmax_op,
+                    (rv0[:, -1], ri0[:, -1], rp0[:, -1], rg0[:, -1]),
+                    axis=0)
+                cv, ci, cp = mx_carry
+                take = ig | (iv > cv)
+                pv = jnp.where(take, iv, cv)
+                pi = jnp.where(take, ii, ci)
+                pp = jnp.where(take, ip, cp)
+                carry_v = jnp.concatenate([cv[None], pv[:-1]])
+                carry_i = jnp.concatenate([ci[None], pi[:-1]])
+                carry_p = jnp.concatenate([cp[None], pp[:-1]])
+                take = rg0 | (rv0 > carry_v[:, None])
+                ri = jnp.where(take, ri0, carry_i[:, None])
+                rp = jnp.where(take, rp0, carry_p[:, None])
+                # first k falling edges per chunk, in time order (at a
+                # falling edge e the scan value equals the run max at
+                # e-1: the edge element is -inf with no reset)
+                pos = jnp.where(f, jnp.arange(c, dtype=jnp.int32), c)
+                edges = jnp.sort(pos, axis=-1)[:, :k]
+                valid = edges < c
+                ee = jnp.minimum(edges, c - 1)
+                nmax = jnp.take_along_axis(ri, ee, axis=1)
+                ph = jnp.take_along_axis(rp, ee, axis=1)
+                edges = jnp.where(valid, edges, -1)
+                return edges, nmax, ph, st_out, (pv[-1], pi[-1], pp[-1])
+
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                ax = self.mesh.axis_names[0]
+                sh = NamedSharding(self.mesh, PartitionSpec(ax))
+                rep = NamedSharding(self.mesh, PartitionSpec())
+                fn = jax.jit(run, in_shardings=(sh, sh, rep,
+                                                (rep, rep, rep)))
+            else:
+                fn = jax.jit(run)
             self._extract_fns[key] = fn
         return fn
 
     def _events_device(self, x: np.ndarray, chunk_samples: int,
                        max_edges: int):
         """(edge, n_max, phase[n_max - match_del]) for the first
-        ``max_edges`` falling edges, computed chunk-by-chunk on device
-        with O(chunk) memory and O(max_edges) host transfer.  Same
-        chunk/context block alignment as metrics_host, Schmitt state
-        and running argmax threaded across chunks.  Caveat vs the host
-        path: at most ``max_edges`` edges are taken per chunk (a chunk
-        with more is pathological noise; the host path's global cap
+        ``max_edges`` falling edges, computed in super-batches of
+        MAX_CHUNKS_PER_CALL chunks per jit call, O(chunks_per_call)
+        device memory and O(max_edges) host transfer.  Same chunk and
+        context block alignment as metrics_host; Schmitt state and
+        running argmax composed across all chunk boundaries.  Caveat
+        vs the host path: at most ``max_edges`` edges are taken per
+        chunk (more is pathological noise; the host path's global cap
         would have exhausted its margin anyway)."""
         t_all = x.shape[0]
         n_out = t_all - 2 * self.L
@@ -362,39 +448,67 @@ class Synchronizer:
             return []
         c = -(-int(chunk_samples) // _BLK) * _BLK
         ctx = -(-(2 * self.L + self.match_len) // _BLK) * _BLK
+        want = ctx + c + 2 * self.L
+        n_chunks = -(-n_out // c)
         st = jnp.asarray(False)
         mx = (jnp.float32(-np.inf), jnp.int32(0), jnp.float32(0.0))
         events = []
-        for n0 in range(0, n_out, c):
-            use_ctx = ctx if n0 else 0
-            seg = x[n0 - use_ctx: n0 + c + 2 * self.L]
-            want = use_ctx + c + 2 * self.L
-            if seg.shape[0] < want:
-                seg = np.concatenate([seg, np.zeros(
-                    (want - seg.shape[0], 2), np.float32)])
-            edges, nmax, ph, _ne, st, mx = self._extract_fn(
-                c, use_ctx, max_edges)(jnp.asarray(seg),
-                                       jnp.int32(n0), st, mx)
+        g0 = 0
+        while g0 < n_chunks:
+            # greedy power-of-two super-batch decomposition (10 chunks
+            # -> calls of 8 + 2): every call shape comes from a ladder
+            # of at most log2(MAX_CHUNKS_PER_CALL)+1 compiled graphs
+            # per chunk size, with no wasted pad-chunk compute
+            rem = n_chunks - g0
+            m = min(self.MAX_CHUNKS_PER_CALL, 1 << (rem.bit_length() - 1))
+            if self.mesh is not None:   # chunk axis divides the mesh
+                nd = self.mesh.devices.size
+                m = max(nd, -(-m // nd) * nd)
+            fn = self._extract_batch_fn(c, ctx, max_edges, m)
+            segs = np.zeros((m, want, 2), np.float32)
+            # pad chunks carry the n_out sentinel: their edges (global
+            # position >= n_out) are filtered below, and they can only
+            # appear in the final super-batch, so the carries they
+            # kill are never consumed
+            n0s = np.full(m, n_out, np.int32)
+            for j in range(min(m, rem)):
+                n0 = (g0 + j) * c
+                lo = n0 - ctx
+                seg = x[max(lo, 0): n0 + c + 2 * self.L]
+                off = max(0, -lo)            # left zero-pad of chunk 0
+                segs[j, off: off + seg.shape[0]] = seg
+                n0s[j] = n0
+            # np arrays pass straight to jit: with a mesh set, the
+            # in_shardings place each chunk row on its device directly
+            edges, nmax, ph, st, mx = fn(segs, n0s, st, mx)
             edges, nmax, ph = (np.asarray(v) for v in (edges, nmax, ph))
-            keep = min(c, n_out - n0)
-            for j in range(max_edges):
-                if 0 <= edges[j] < keep:     # skip fill & padded tail
-                    events.append((n0 + int(edges[j]), int(nmax[j]),
-                                   float(ph[j])))
+            for j in range(m):
+                for e, nm, p_ in zip(edges[j], nmax[j], ph[j]):
+                    if e < 0 or n0s[j] + e >= n_out:
+                        continue             # fill slot / padded tail
+                    events.append((int(n0s[j] + e), int(nm), float(p_)))
+            g0 += m
             if len(events) >= max_edges:
                 break
         return events[:max_edges]
 
     # -- public API --------------------------------------------------------
     def scan(self, x: np.ndarray, max_candidates: int = 8,
-             chunk_samples=None):
+             chunk_samples=None, host: bool = False):
         """Find S&C preambles in a recording (complex np or [T,2] array).
 
         Returns SyncCandidates in time order with the reference's gates
         applied (peak > 4*next, |pos_err| <= guard/2; decode.cc:140-145).
-        Long recordings (or an explicit chunk_samples) scan chunk-by-
-        chunk with device-side candidate extraction: constant device
-        memory AND O(candidates) host transfer regardless of length.
+
+        Every recording scans chunk-by-chunk with device-side candidate
+        extraction: constant device memory, O(candidates) host transfer,
+        and — because chunk shapes come from a fixed two-size ladder
+        with power-of-two super-batches — a BOUNDED set of compiled
+        graphs serves any recording length (the whole-recording pass
+        recompiles per length: >6 min for a 1.3M-sample graph on the
+        remote compiler).  ``host=True`` forces the reference host-
+        numpy edge walk over metrics_host (the spec the device path is
+        tested against).
         """
         cfg = self.cfg
         L = self.L
@@ -405,9 +519,14 @@ class Synchronizer:
         # not consume candidate slots ahead of real, later frames
         max_edges = 4 * max_candidates
 
-        if chunk_samples is not None or x.shape[0] > self.CHUNK_AUTO_THRESHOLD:
-            raw = self._events_device(
-                x, chunk_samples or self.CHUNK_DEFAULT, max_edges)
+        if not host:
+            if chunk_samples is None:
+                n_out = x.shape[0] - 2 * self.L
+                chunk_samples = (
+                    self.CHUNK_SMALL
+                    if n_out <= self.MAX_CHUNKS_PER_CALL * self.CHUNK_SMALL
+                    else self.CHUNK_DEFAULT)
+            raw = self._events_device(x, chunk_samples, max_edges)
         else:
             timing, phase, state, falling = self.metrics_host(x)
             raw = []

@@ -52,6 +52,32 @@ def test_toy_sharded_decode(toy_batch):
         assert got == payloads[i]
 
 
+def test_sharded_sync_scan_matches_single_device():
+    """Context-parallel chunk scan over the mesh: candidates must be
+    exactly those of the single-device scan (cross-device Schmitt and
+    argmax carries recovered by composing per-chunk summaries)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    from modem_tpu.parallel import sharded_sync
+    from modem_tpu.sync import Synchronizer
+
+    recs, _ = toy_recordings(1, seed=5)
+    x = np.concatenate([np.asarray(recs[0])] * 6, axis=0)
+    rng = np.random.default_rng(7)
+    x = x + rng.normal(0, 0.02, x.shape).astype(np.float32)
+    cfg = toy_config()
+    mesh = make_mesh(min(8, len(jax.devices())))
+    ref = Synchronizer(cfg).scan(x, max_candidates=8,
+                                 chunk_samples=2048)
+    got = sharded_sync(cfg, mesh).scan(x, max_candidates=8,
+                                       chunk_samples=2048)
+    assert sum(c.ok for c in ref) >= 5
+    assert len(got) == len(ref)
+    for a, b in zip(ref, got):
+        assert (a.p0, a.ok) == (b.p0, b.ok)
+        assert abs(a.cfo_rad - b.cfo_rad) < 1e-6
+
+
 def test_toy_frame_has_wire_structure():
     cfg = toy_config()
     assert cfg.symbol_len == 256

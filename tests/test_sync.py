@@ -83,7 +83,7 @@ def test_chunked_scan():
     assert np.allclose(tw, tc, rtol=1e-3, atol=1e-4)
     assert np.allclose(pw, pc, rtol=1e-3, atol=1e-4)
     assert (sw == sc).all() and (fw == fc).all()
-    cw = sync.scan(x, max_candidates=8)
+    cw = sync.scan(x, max_candidates=8, host=True)
     cc = sync.scan(x, max_candidates=8, chunk_samples=2048)
     assert len(cw) == len(cc)
     for a, b in zip(cw, cc):
@@ -106,10 +106,11 @@ def test_device_extraction_matches_host_scan():
     x = np.concatenate([one] * 5, axis=0)
     x = x + rng.normal(0, 0.02, x.shape).astype(np.float32)
     sync = Synchronizer(toy_config())
-    host = sync.scan(x, max_candidates=8)
+    host = sync.scan(x, max_candidates=8, host=True)
     assert sum(c.ok for c in host) >= 4
-    # chunk sizes chosen so boundaries sweep across the S&C plateaus
-    for chunk in (1024, 1536, 2048, 4096):
+    # chunk sizes chosen so boundaries sweep across the S&C plateaus;
+    # None = the default ladder (single CHUNK_SMALL chunk here)
+    for chunk in (1024, 1536, 2048, 4096, None):
         dev = sync.scan(x, max_candidates=8, chunk_samples=chunk)
         assert len(dev) == len(host), chunk
         for a, b in zip(host, dev):
