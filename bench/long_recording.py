@@ -66,11 +66,11 @@ def main():
     ok = np.asarray(res["ok"])
     exact = sum(pipe.payload_bytes(res, i) == payloads[i]
                 for i in range(min(len(pos), n_frames)))
-    n_chunks = -(-(t_total) // pipe.sync.CHUNK_DEFAULT)
+    n_chunks = -(-(t_total) // pipe.sync.CHUNK_SMALL)
     print(f"# found {len(pos)} frames, ok {int(ok.sum())}, "
           f"byte-exact {exact}/{n_frames}; scan+decode {dt:.1f} s "
           f"({hours * 3600 / dt:.0f}x real time end-to-end), "
-          f"{n_chunks} sync chunks of {pipe.sync.CHUNK_DEFAULT} samples",
+          f"{n_chunks} sync chunks of {pipe.sync.CHUNK_SMALL} samples",
           file=sys.stderr, flush=True)
     print(f"positions found: {list(map(int, pos))}")
     print(f"positions true:  {[int(s) for s in starts]}")

@@ -452,7 +452,12 @@ class Synchronizer:
         n_chunks = -(-n_out // c)
         st = jnp.asarray(False)
         mx = (jnp.float32(-np.inf), jnp.int32(0), jnp.float32(0.0))
-        events = []
+        # Phase 1 — dispatch every super-batch without blocking: the
+        # Schmitt/argmax carries chain on DEVICE (st, mx stay jax
+        # arrays), so jax's async dispatch pipelines host slicing,
+        # transfer and compute across calls; only the tiny per-call
+        # edge triples are fetched, in phase 2.
+        pending = []
         g0 = 0
         while g0 < n_chunks:
             # greedy power-of-two super-batch decomposition (10 chunks
@@ -481,13 +486,17 @@ class Synchronizer:
             # np arrays pass straight to jit: with a mesh set, the
             # in_shardings place each chunk row on its device directly
             edges, nmax, ph, st, mx = fn(segs, n0s, st, mx)
+            pending.append((edges, nmax, ph, n0s))
+            g0 += m
+        # Phase 2 — fetch in time order, stop once enough edges
+        events = []
+        for edges, nmax, ph, n0s in pending:
             edges, nmax, ph = (np.asarray(v) for v in (edges, nmax, ph))
-            for j in range(m):
+            for j in range(len(n0s)):
                 for e, nm, p_ in zip(edges[j], nmax[j], ph[j]):
                     if e < 0 or n0s[j] + e >= n_out:
                         continue             # fill slot / padded tail
                     events.append((int(n0s[j] + e), int(nm), float(p_)))
-            g0 += m
             if len(events) >= max_edges:
                 break
         return events[:max_edges]
@@ -520,12 +529,12 @@ class Synchronizer:
         max_edges = 4 * max_candidates
 
         if not host:
+            # one fixed chunk size: any length decomposes into pow2
+            # super-batches of these, so the compiled-graph set is
+            # bounded AND each call stays ~2M samples — larger scan
+            # graphs (16 x 2^20) OOM-killed the remote compile helper
             if chunk_samples is None:
-                n_out = x.shape[0] - 2 * self.L
-                chunk_samples = (
-                    self.CHUNK_SMALL
-                    if n_out <= self.MAX_CHUNKS_PER_CALL * self.CHUNK_SMALL
-                    else self.CHUNK_DEFAULT)
+                chunk_samples = self.CHUNK_SMALL
             raw = self._events_device(x, chunk_samples, max_edges)
         else:
             timing, phase, state, falling = self.metrics_host(x)
