@@ -18,15 +18,23 @@ def clock(name, fn, *argsets):
     """argsets: >=1 tuples of args; distinct inputs defeat any
     result memoization in the remote runtime."""
     import jax
+    import jax.numpy as jnp
+
+    def force(o):
+        # block_until_ready does NOT block through the axon tunnel
+        # (CLAUDE.md trap): fetch a scalar digest of every output leaf
+        # to force completion while moving only bytes.
+        for leaf in jax.tree_util.tree_leaves(o):
+            np.asarray(jnp.sum(leaf.astype(jnp.float32)))
 
     t0 = time.time()
     out = fn(*argsets[0])
-    jax.block_until_ready(out)
+    force(out)
     t1 = time.time()
     reps = 4
     for i in range(reps):
         out = fn(*argsets[(i + 1) % len(argsets)])
-        jax.block_until_ready(out)
+        force(out)
     t2 = time.time()
     print(f"{name}: compile+1st {t1 - t0:.1f} s, "
           f"steady {(t2 - t1) * 1e3 / reps:.1f} ms", flush=True)

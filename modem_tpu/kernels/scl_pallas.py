@@ -959,4 +959,5 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
         pm = pm[:, 0, :P].reshape(batch, L)
         return cw, pm
 
+    decode.ops16 = ops16       # introspection/profiling aid
     return decode
