@@ -95,6 +95,46 @@ def sharded_sync(cfg: ModemConfig, mesh: Mesh):
     return sync
 
 
+def sharded_decode_recording(pipe: BatchPipeline, mesh: Mesh, x,
+                             max_frames: int = 64):
+    """Full multi-chip serving path for ONE long recording: the sync
+    scan's chunk axis shards over the mesh (context parallelism), then
+    every found frame decodes with frame-batch DP over the same mesh
+    (`sharded_decode_batched`), frames padded up to a multiple of the
+    mesh size.
+
+    Returns (result dict trimmed to the real frames, positions).
+    Candidates and payloads are exactly those of the single-device
+    `BatchPipeline.decode_recording` (test_pipeline.py)."""
+    sync = sharded_sync_for(pipe, mesh)
+    cands = [c for c in sync.scan(x, max_candidates=max_frames)
+             if c.ok]
+    wins, pos = pipe.windows_at(x, [c.p0 for c in cands])
+    if not len(wins):
+        return None, pos
+    nd = mesh.devices.size
+    n = len(wins)
+    pad = (-n) % nd
+    if pad:
+        wins = np.concatenate(
+            [wins, np.zeros((pad,) + wins.shape[1:], np.float32)])
+    fn = sharded_decode_batched(pipe, mesh, len(wins) // nd)
+    res = fn(wins)
+    res = {k: np.asarray(v)[:n] for k, v in res.items()}
+    return res, pos
+
+
+def sharded_sync_for(pipe: BatchPipeline, mesh: Mesh):
+    """A fresh Synchronizer on the pipeline's config with the mesh
+    attached (kept separate so the pipeline's single-device scan and
+    its jit caches are untouched)."""
+    from .sync import Synchronizer
+
+    sync = Synchronizer(pipe.sync.cfg)
+    sync.mesh = mesh
+    return sync
+
+
 # ---------------------------------------------------------------------------
 # Toy end-to-end configuration (tiny shapes, real pipeline code paths)
 # ---------------------------------------------------------------------------

@@ -260,10 +260,16 @@ class BatchPipeline:
     def frame_windows(self, x, max_frames: int = 64):
         """Scan a recording and slice one window per detected frame.
 
-        Each window spans [p0 - (s+g), p0 + frame_samples - g) —
+        Each window spans [p0 - (2s+g), p0 + frame_samples - g) —
         through its last payload sample and stopping before the NEXT
         frame's preamble, so the batch path's global timing argmax sees
-        exactly one preamble.  Returns (windows [n, w, 2], positions)."""
+        exactly one preamble.  The lead holds the in-frame pilot
+        symbol before the S&C: the timing metric's peak needs
+        L + match_len samples of window-sum history, and a lead of
+        only s+g leaves L + g — one sample SHORT (g = 160 < match_len
+        = 161 at 8 kHz; the wire loopbacks passed inside that hair,
+        the toy config did not).  Returns (windows [n, w, 2],
+        positions)."""
         if np.iscomplexobj(x):
             x = cplx.from_np(x)
         x = np.asarray(x, dtype=np.float32)
@@ -279,13 +285,14 @@ class BatchPipeline:
         x = np.asarray(x, dtype=np.float32)
         cfg = self.cfg
         s, g = cfg.symbol_len, cfg.guard_len
-        w = cfg.frame_samples + s
+        w = cfg.frame_samples + 2 * s
         wins = np.zeros((len(positions), w, 2), dtype=np.float32)
         pos = np.zeros(len(positions), dtype=np.int64)
         for i, p0 in enumerate(positions):
-            lo = int(p0) - (s + g)
+            lo = int(p0) - (2 * s + g)
             seg = x[max(lo, 0): max(lo + w, 0)]
-            wins[i, : len(seg)] = seg
+            off = max(0, -lo)       # recording-start left pad
+            wins[i, off: off + len(seg)] = seg
             pos[i] = p0
         return wins, pos
 

@@ -78,6 +78,27 @@ def test_sharded_sync_scan_matches_single_device():
         assert abs(a.cfo_rad - b.cfo_rad) < 1e-6
 
 
+def test_sharded_decode_recording_matches_single_device():
+    """Capstone multi-chip serving path: mesh-sharded sync scan +
+    frame-batch DP decode of one long recording must reproduce the
+    single-device decode_recording byte-for-byte."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    from modem_tpu.parallel import sharded_decode_recording
+
+    recs, payloads = toy_recordings(1, seed=8)
+    x = np.concatenate([np.asarray(recs[0])] * 6, axis=0)
+    pipe = toy_pipeline()
+    mesh = make_mesh(min(8, len(jax.devices())))
+    ref, pos_ref = pipe.decode_recording(x, max_frames=8)
+    got, pos = sharded_decode_recording(pipe, mesh, x, max_frames=8)
+    assert list(pos) == list(pos_ref)
+    assert np.asarray(got["ok"]).all()
+    for i in range(len(pos)):
+        assert pipe.payload_bytes(got, i) == payloads[0]
+        assert pipe.payload_bytes(got, i) == pipe.payload_bytes(ref, i)
+
+
 def test_toy_frame_has_wire_structure():
     cfg = toy_config()
     assert cfg.symbol_len == 256
