@@ -120,10 +120,13 @@ def main():
     enc = Encoder(cfg)
     rng = np.random.default_rng(0)
     call = B.base37_encode("N0CALL")
+    # 4 sets: set 0 warms the compile, sets 1-3 are timed — the timed
+    # loop must never replay the warmup input (identical graph+input
+    # calls may be memoized by the remote runtime; CLAUDE.md trap)
     payload_sets = [
         [rng.integers(0, 256, cfg.mode.data_bytes,
                       dtype=np.uint8).tobytes() for _ in range(batch)]
-        for _ in range(3)]
+        for _ in range(4)]
 
     # ---- encode (batched, one jit) ------------------------------------
     # Same staging convention as the decode loop: inputs staged on
@@ -154,9 +157,9 @@ def main():
     print(f"# encode compile+first: {time.time() - t0:.0f} s",
           file=sys.stderr, flush=True)
     t0 = time.time()
-    for m in mesg_sets:
+    for m in mesg_sets[1:]:
         np.asarray(enc_digest(m, meta)[0])
-    enc_dt = (time.time() - t0) / len(mesg_sets)
+    enc_dt = (time.time() - t0) / (len(mesg_sets) - 1)
     frame_s = cfg.frame_samples / cfg.rate      # on-air frame duration
     enc_fps = batch / enc_dt
     enc_xrt = enc_fps * frame_s

@@ -124,9 +124,11 @@ def cmd_decode(argv: list[str]) -> int:
     res = dec.decode(samples, channels=data.channels, skip=skip,
                      log=sys.stderr)
     if not res.ok:
+        # only statuses the decoder transcript does NOT already emit
+        # in its candidate loop (emit(status), decoder.py) — listing
+        # an in-loop status here would print it twice
         if res.status in ("no preamble found",
-                          "ran out of frames while skipping",
-                          "header window out of range"):
+                          "ran out of frames while skipping"):
             print(res.status, file=sys.stderr)
         return 1
     if output_name == "-":

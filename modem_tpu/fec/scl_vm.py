@@ -248,10 +248,17 @@ def make_batch_decoder(frozen: np.ndarray, batch: int,
                        precision=jax.lax.Precision.HIGHEST)
 
     def int_select(mat, s):
-        """Integer minor-axis gather via f32 matmul (values <= 512,
-        bf16-exact, so default MXU precision is lossless)."""
+        """Integer minor-axis gather via f32 matmul.
+
+        HIGHEST precision is required, not a nicety: bf16 represents
+        integers exactly only up to 256, and these gathers carry lane
+        indices (up to B*L-1, e.g. 1023 at batch 128) and in-chunk
+        bit positions (0..511) — a default-precision MXU dot would
+        round 257 to 256 and flip the wrong bit.  f32 holds integers
+        exactly to 2^24."""
         out = jnp.dot(mat.astype(jnp.float32), s,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
         return jnp.round(out).astype(jnp.int32)
 
     def select(pm, extra):

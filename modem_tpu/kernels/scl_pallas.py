@@ -285,9 +285,11 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
         because the windows are disjoint.  3 MXU passes vs 6 for
         XLA-HIGHEST, exact where HIGHEST merely bounds error.
 
-        Only needed where the value operand is genuine f32 — betas
-        (+-1/0) and lane/index integers (< 512) are bf16-exact and use
-        plain dots.
+        Only needed where the value operand is genuine f32 or an
+        integer above 256 — betas (+-1/0) and lane indices (< 128)
+        are bf16-exact and use plain dots; bf16 represents integers
+        exactly only up to 256, so 512-wide-tier bit positions route
+        through here too (rate1_core / spc_core).
         """
         hi = x.astype(jnp.bfloat16).astype(jnp.float32)
         rem = x - hi
@@ -323,7 +325,8 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
         def to_lane(v):
             """[F, L] per-(frame, round) values -> [P, 1] per lane:
             out[p] = v[f(p), l(p)] = diag(FSEL @ v @ LSEL)[p].
-            Used for candidate indices (< 2P, bf16-exact)."""
+            Used for candidate indices (< 2P <= 256 since P <= 128 =
+            full lane width; bf16 is exact only up to 256)."""
             a = jnp.dot(fsel, jnp.dot(v, lsel,
                                       preferred_element_type=jnp.float32),
                         preferred_element_type=jnp.float32)   # [P, P]
@@ -711,9 +714,15 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                             carry = jnp.dot(
                                 pmat, carry,
                                 preferred_element_type=jnp.float32)
-                        at2 = jnp.round(jnp.dot(
-                            pmat, at.astype(jnp.float32),
-                            preferred_element_type=jnp.float32)
+                        # bit positions reach CW-1: beyond 256 they
+                        # are NOT bf16-exact (257 rounds to 256 on the
+                        # MXU and the wrong bit flips) — exact 3-pass
+                        # select for the 512-wide tier
+                        at_f = at.astype(jnp.float32)
+                        at2 = jnp.round(
+                            dot_sel(pmat, at_f) if CW > 256 else
+                            jnp.dot(pmat, at_f,
+                                    preferred_element_type=jnp.float32)
                         ).astype(jnp.int32)                   # [P, 1]
                         hit = iota == at2
                         b_local = jnp.where(hit & (flip > 0),
@@ -756,9 +765,13 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                         b = jnp.dot(pmat, b,
                                     preferred_element_type=jnp.float32)
                         vals = dot_sel(pmat, vals)
-                        idxs = jnp.round(jnp.dot(
-                            pmat, idxs.astype(jnp.float32),
-                            preferred_element_type=jnp.float32)
+                        # same bf16 hazard as rate1_core's at2: bit
+                        # positions > 256 need the exact select
+                        idxs_f = idxs.astype(jnp.float32)
+                        idxs = jnp.round(
+                            dot_sel(pmat, idxs_f) if CW > 256 else
+                            jnp.dot(pmat, idxs_f,
+                                    preferred_element_type=jnp.float32)
                         ).astype(jnp.int32)
                         oddsw = jnp.round(jnp.dot(
                             pmat, jnp.concatenate(

@@ -95,6 +95,9 @@ def sharded_sync(cfg: ModemConfig, mesh: Mesh):
     return sync
 
 
+_SHARDED_CACHE: dict = {}
+
+
 def sharded_decode_recording(pipe: BatchPipeline, mesh: Mesh, x,
                              max_frames: int = 64):
     """Full multi-chip serving path for ONE long recording: the sync
@@ -103,10 +106,20 @@ def sharded_decode_recording(pipe: BatchPipeline, mesh: Mesh, x,
     (`sharded_decode_batched`), frames padded up to a multiple of the
     mesh size.
 
-    Returns (result dict trimmed to the real frames, positions).
-    Candidates and payloads are exactly those of the single-device
-    `BatchPipeline.decode_recording` (test_pipeline.py)."""
-    sync = sharded_sync_for(pipe, mesh)
+    Returns (result dict {bits, ok, flips} trimmed to the real
+    frames, positions) — `payload_bytes` works on it; the extra
+    per-frame diagnostics of `decode_recording` (snr, sync_gate, ...)
+    stay on the single-device path.  Candidate positions and payload
+    bytes are exactly those of the single-device
+    `BatchPipeline.decode_recording` (test_pipeline.py).  The jitted
+    shard_map and the mesh-attached Synchronizer cache per
+    (pipeline, mesh, per_chip) so repeated recordings re-trace
+    nothing."""
+    key = (id(pipe), id(mesh))
+    sync = _SHARDED_CACHE.get(("sync",) + key)
+    if sync is None:
+        sync = sharded_sync(pipe.sync.cfg, mesh)
+        _SHARDED_CACHE[("sync",) + key] = sync
     cands = [c for c in sync.scan(x, max_candidates=max_frames)
              if c.ok]
     wins, pos = pipe.windows_at(x, [c.p0 for c in cands])
@@ -118,21 +131,14 @@ def sharded_decode_recording(pipe: BatchPipeline, mesh: Mesh, x,
     if pad:
         wins = np.concatenate(
             [wins, np.zeros((pad,) + wins.shape[1:], np.float32)])
-    fn = sharded_decode_batched(pipe, mesh, len(wins) // nd)
+    per_chip = len(wins) // nd
+    fn = _SHARDED_CACHE.get(("fn",) + key + (per_chip,))
+    if fn is None:
+        fn = sharded_decode_batched(pipe, mesh, per_chip)
+        _SHARDED_CACHE[("fn",) + key + (per_chip,)] = fn
     res = fn(wins)
     res = {k: np.asarray(v)[:n] for k, v in res.items()}
     return res, pos
-
-
-def sharded_sync_for(pipe: BatchPipeline, mesh: Mesh):
-    """A fresh Synchronizer on the pipeline's config with the mesh
-    attached (kept separate so the pipeline's single-device scan and
-    its jit caches are untouched)."""
-    from .sync import Synchronizer
-
-    sync = Synchronizer(pipe.sync.cfg)
-    sync.mesh = mesh
-    return sync
 
 
 # ---------------------------------------------------------------------------

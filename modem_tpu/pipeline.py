@@ -317,11 +317,10 @@ class BatchPipeline:
 
         The streaming analog of the reference's acquisition loop
         (decode.cc:390-448) on the serving path: the Schmitt-trigger
-        scan locates preambles host-side, then all frames decode as ONE
-        batched call.  Each frame's window spans
-        [p0 - (s+g), p0 + frame_samples - g) — through its last payload
-        sample and stopping before the NEXT frame's preamble, so the
-        batch path's global timing argmax sees exactly one preamble.
+        scan locates preambles, then all frames decode as ONE batched
+        call.  Window geometry (lead 2s+g through the last payload
+        sample, stopping before the next frame's preamble): see
+        frame_windows.
 
         Returns (result dict from decode_batch, positions [n_frames]).
         """

@@ -121,34 +121,21 @@ def schmitt_falling(timing, lo: float, hi: float, carry=None):
     return s, prev & ~s
 
 
-def segmented_argmax(v, idx, payload, seg_start, carry=None):
+def segmented_argmax(v, idx, payload, seg_start):
     """Running argmax that resets at segment starts, vectorised.
 
     At each position n the result is (max value, its index, its
     payload) over the maximal run of positions ending at n with no
     segment start strictly after the run's first element.  Ties keep
-    the EARLIEST index (np.argmax semantics).  ``carry`` is a
-    (value, index, payload) tuple seeding position -1 (for chunked
-    scans over long recordings).  Standard segmented-scan operator:
-    op((a, g1), (b, g2)) = (g2 ? b : max(a, b), g1 | g2).
+    the EARLIEST index (np.argmax semantics).  Standard segmented-scan
+    operator: op((a, g1), (b, g2)) = (g2 ? b : max(a, b), g1 | g2).
 
     Returns (max value, index, payload, any-segment-start-in-prefix);
     the fourth output lets a chunked caller compose results across
-    chunk boundaries with the same operator.
+    chunk boundaries with the same operator (_extract_batch_fn).
     """
-    if carry is not None:
-        cv, ci, cp = carry
-        v = jnp.concatenate([cv[None], v])
-        idx = jnp.concatenate([ci[None], idx])
-        payload = jnp.concatenate([cp[None], payload])
-        seg_start = jnp.concatenate(
-            [jnp.zeros((1,), seg_start.dtype), seg_start])
-
-    rv, ri, rp, rg = jax.lax.associative_scan(
+    return jax.lax.associative_scan(
         _seg_argmax_op, (v, idx, payload, seg_start))
-    if carry is not None:
-        rv, ri, rp, rg = rv[1:], ri[1:], rp[1:], rg[1:]
-    return rv, ri, rp, rg
 
 
 def _seg_argmax_op(left, right):
@@ -308,9 +295,11 @@ class Synchronizer:
                 return (np.asarray(timing), np.asarray(phase),
                         np.asarray(state), np.asarray(falling))
             chunk_samples = self.CHUNK_DEFAULT
-        blk = 512                      # window_sum._BLK alignment
-        c = -(-int(chunk_samples) // blk) * blk
-        ctx = -(-(2 * self.L + self.match_len) // blk) * blk
+        ctx = -(-(2 * self.L + self.match_len) // _BLK) * _BLK
+        # a chunk shorter than its left context would slice x with a
+        # negative start for chunk 1 (empty slice, silently zero
+        # metrics) — clamp up
+        c = max(-(-int(chunk_samples) // _BLK) * _BLK, ctx)
         outs = ([], [], [], [])
         carry = jnp.asarray(False)
         for n0 in range(0, n_out, c):
@@ -446,8 +435,9 @@ class Synchronizer:
         n_out = t_all - 2 * self.L
         if n_out <= 0:
             return []
-        c = -(-int(chunk_samples) // _BLK) * _BLK
         ctx = -(-(2 * self.L + self.match_len) // _BLK) * _BLK
+        # chunks must cover their own left context (see metrics_host)
+        c = max(-(-int(chunk_samples) // _BLK) * _BLK, ctx)
         want = ctx + c + 2 * self.L
         n_chunks = -(-n_out // c)
         st = jnp.asarray(False)
@@ -581,5 +571,6 @@ class Synchronizer:
         lo = p0 + L
         out = np.zeros((L, 2), dtype=np.float32)
         seg = x[max(lo, 0): max(lo + L, 0)]
-        out[: len(seg)] = seg
+        off = max(0, -lo)          # keep alignment for p0 < -L
+        out[off: off + len(seg)] = seg
         return out

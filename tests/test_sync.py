@@ -109,8 +109,10 @@ def test_device_extraction_matches_host_scan():
     host = sync.scan(x, max_candidates=8, host=True)
     assert sum(c.ok for c in host) >= 4
     # chunk sizes chosen so boundaries sweep across the S&C plateaus;
-    # None = the default ladder (single CHUNK_SMALL chunk here)
-    for chunk in (1024, 1536, 2048, 4096, None):
+    # None = the default ladder (single CHUNK_SMALL chunk here); 64 is
+    # below the context size and must clamp up, not corrupt (the
+    # unclamped path sliced x with a negative start for chunk 1)
+    for chunk in (64, 1024, 1536, 2048, 4096, None):
         dev = sync.scan(x, max_candidates=8, chunk_samples=chunk)
         assert len(dev) == len(host), chunk
         for a, b in zip(host, dev):
