@@ -82,8 +82,11 @@ def build_schedule(frozen_key, emit_spc: bool = True) -> Schedule:
     RATE1 forking list_size-1 rounds, the resulting schedule is an
     EXACT bit-by-bit SCL equivalent (Sarkis et al., "Fast List
     Decoders for Polar Codes": min(L-1, w) serial least-reliable forks
-    reproduce rate-1 nodes exactly; REP/RATE0 are trivially exact) —
-    the SPC pair-flip leaf is the one remaining approximation.
+    reproduce rate-1 nodes exactly; REP/RATE0 are trivially exact).
+    Since round 3 the SPC leaf op itself has an exact variant (the
+    parity bit folded into the flip set as a toggling adjuster, L-1
+    fork rounds — see op_spc), so the decomposed schedule survives
+    only as a cross-validation oracle for that op.
     """
     frozen = np.frombuffer(frozen_key, dtype=np.uint8)
     n = len(frozen)
@@ -201,8 +204,28 @@ def _select_paths(pm_cand, L):
     return order % L, order >= L, -neg
 
 
+def scl_params(list_size: int, exact: bool, decompose_spc: bool):
+    """Shared knob derivation for the three SCL backends.
+
+    Returns (emit_spc, t_r1, t_spc, spc_exact):
+      * fast (exact=False): SPC leaves with the T_RATE1-round pair-flip
+        approximation (Fast-SSC-List).
+      * exact=True: SPC leaves with the exact parity-adjuster rule
+        (t_spc = L extractions, L-1 fork rounds) and L-1 RATE1 rounds —
+        bit-by-bit SCL equivalent at the fast schedule's op count.
+      * exact=True, decompose_spc=True: the round-2 exact path (SPC
+        nodes decomposed into subtrees, ~2x the ops) — retained as a
+        cross-validation oracle for the exact SPC op.
+    """
+    emit_spc = not (exact and decompose_spc)
+    t_r1 = (list_size - 1) if exact else T_RATE1
+    t_spc = list_size if exact else T_RATE1
+    return emit_spc, t_r1, t_spc, bool(exact)
+
+
 def make_batch_decoder(frozen: np.ndarray, batch: int,
-                       list_size: int = 8, exact: bool = False):
+                       list_size: int = 8, exact: bool = False,
+                       decompose_spc: bool = False):
     """Batched SCL decoder with a TPU-friendly buffer layout.
 
     State lives as [SZ, batch*list] so every chunk access is a
@@ -215,9 +238,10 @@ def make_batch_decoder(frozen: np.ndarray, batch: int,
     Returns fn: llrs [batch, code_len] -> (codewords [batch, L,
     code_len] 0/1, path metrics [batch, L]).
     """
+    emit_spc, t_r1, t_spc, spc_exact = scl_params(list_size, exact,
+                                                  decompose_spc)
     sched = build_schedule(np.asarray(frozen, dtype=np.uint8).tobytes(),
-                           emit_spc=not exact)
-    t_r1 = (list_size - 1) if exact else T_RATE1
+                           emit_spc=emit_spc)
     L = list_size
     B = batch
     W = B * L
@@ -370,8 +394,19 @@ def make_batch_decoder(frozen: np.ndarray, batch: int,
                                row[C_LAST]), pm2)
 
         def op_spc(_):
-            """Single-parity-check node (Fast-SSC-List): parity-fix the
-            hard decisions, fork on exclusive pair flips {i0, ij}."""
+            """Single-parity-check node: parity-fix the hard decisions,
+            then fork on flips of the least-reliable positions, each
+            paired with a toggle of the parity position i0.
+
+            Fast mode (spc_exact=False): Fast-SSC-List pair-flip
+            approximation — a path takes at most ONE pair flip (the
+            `switched` blocker).  Exact mode: i0 is a toggling parity
+            adjuster (`odd` tracks whether it is currently flipped,
+            delta = v_r -/+ v_0 accordingly) and paths accumulate flips
+            across t_spc-1 = L-1 rounds, which reproduces bit-by-bit
+            SCL exactly (Sarkis et al., "Fast List Decoders for Polar
+            Codes"; validated against the decomposed-subtree schedule
+            and the numpy oracle in tests/test_scl_vm.py)."""
             a = rd_llr(row[C_SRC])
             valid = (jnp.arange(CHUNK) < row[C_WIDTH])[:, None]
             mag = jnp.where(valid, jnp.abs(a), big)
@@ -380,7 +415,7 @@ def make_batch_decoder(frozen: np.ndarray, batch: int,
             iota_c = jnp.arange(CHUNK)[:, None]
             vals_l, idxs_l = [], []
             mag_t = mag
-            for _k in range(t_r1):
+            for _k in range(t_spc):
                 v = jnp.min(mag_t, axis=0)
                 at = jnp.min(jnp.where(mag_t == v[None, :], iota_c,
                                        CHUNK), axis=0)
@@ -394,10 +429,11 @@ def make_batch_decoder(frozen: np.ndarray, batch: int,
                           odd[None, :], -b, b)
             switched = jnp.zeros((W,), jnp.bool_)
             gperm = jnp.arange(W)
-            for r in range(1, t_r1):
+            for r in range(1, t_spc):
                 delta = jnp.where(odd, vals[:, r] - vals[:, 0],
                                   vals[:, r] + vals[:, 0])
-                delta = jnp.where(switched, big, delta)
+                if not spc_exact:
+                    delta = jnp.where(switched, big, delta)
                 perm, flip, pm2 = select(pm2, delta)
                 s = lane_matrix(perm)
                 b = lane_select(b, s)
@@ -411,7 +447,10 @@ def make_batch_decoder(frozen: np.ndarray, batch: int,
                 pair = ((iota_c == idxs[:, 0][None, :]) |
                         (iota_c == idxs[:, r][None, :]))
                 b = jnp.where(pair & flip[None, :], -b, b)
-                switched = switched | flip
+                if spc_exact:
+                    odd = odd ^ flip
+                else:
+                    switched = switched | flip
             s = lane_matrix(gperm)
             return (zero_chunk, llr_scratch, b, row[C_BDST],
                     zero_chunk, beta_scratch, int_select(refs, s),
@@ -453,17 +492,20 @@ def make_batch_decoder(frozen: np.ndarray, batch: int,
 
 
 def make_decoder(frozen: np.ndarray, list_size: int = 8,
-                 exact: bool = False):
+                 exact: bool = False, decompose_spc: bool = False):
     """Compile an SCL decoder for one frozen mask.
 
     Returns a function llrs [code_len] -> (codewords [L, code_len] 0/1,
-    path metrics [L]); jit/vmap as needed.  exact=True selects the
-    provably bit-by-bit-equivalent schedule (no SPC leaves, L-1 RATE1
-    fork rounds; see build_schedule) at ~1.5x the op count.
+    path metrics [L]); jit/vmap as needed.  exact=True is provably
+    bit-by-bit-SCL-equivalent (exact SPC rule + L-1 RATE1 fork rounds)
+    at the fast schedule's op count; decompose_spc=True additionally
+    decomposes SPC nodes into subtrees (the round-2 exact path, ~2x the
+    ops — kept as a cross-check oracle for the exact SPC op).
     """
+    emit_spc, t_r1, t_spc, spc_exact = scl_params(list_size, exact,
+                                                  decompose_spc)
     sched = build_schedule(np.asarray(frozen, dtype=np.uint8).tobytes(),
-                           emit_spc=not exact)
-    t_r1 = (list_size - 1) if exact else T_RATE1
+                           emit_spc=emit_spc)
     L = list_size
     n = sched.code_len
     big = jnp.float32(3.0e38)
@@ -555,8 +597,12 @@ def make_decoder(frozen: np.ndarray, list_size: int = 8,
                                row[C_LAST]), pm2)
 
         def op_spc(_):
-            """Single-parity-check node (Fast-SSC-List): parity-fix the
-            hard decisions, fork on exclusive pair flips {i0, ij}."""
+            """Single-parity-check node: parity-fix the hard decisions,
+            then fork on least-reliable flips paired with an i0 toggle.
+            Fast mode: one exclusive pair flip per path (`switched`).
+            Exact mode: i0 is a toggling parity adjuster (`odd`), paths
+            accumulate flips over L-1 rounds == bit-by-bit SCL (see the
+            batch variant's docstring)."""
             a = rd_llr(row[C_SRC])
             valid = (jnp.arange(CHUNK) < row[C_WIDTH])[None, :]
             mag = jnp.where(valid, jnp.abs(a), big)
@@ -565,7 +611,7 @@ def make_decoder(frozen: np.ndarray, list_size: int = 8,
             iota_c = jnp.arange(CHUNK)[None, :]
             vals_l, idxs_l = [], []
             mag_t = mag
-            for _k in range(t_r1):
+            for _k in range(t_spc):
                 v = jnp.min(mag_t, axis=-1)
                 at = jnp.min(jnp.where(mag_t == v[:, None], iota_c,
                                        CHUNK), axis=-1)
@@ -580,10 +626,11 @@ def make_decoder(frozen: np.ndarray, list_size: int = 8,
                           -b, b)
             switched = jnp.zeros((L,), jnp.bool_)
             gperm = jnp.arange(L)
-            for r in range(1, t_r1):
+            for r in range(1, t_spc):
                 delta = jnp.where(odd, vals[:, r] - v0,
                                   vals[:, r] + v0)
-                delta = jnp.where(switched, big, delta)
+                if not spc_exact:
+                    delta = jnp.where(switched, big, delta)
                 perm, flip, pm2 = _select_paths(
                     jnp.concatenate([pm2, pm2 + delta]), L)
                 b = jnp.take(b, perm, axis=0)
@@ -597,7 +644,10 @@ def make_decoder(frozen: np.ndarray, list_size: int = 8,
                 pair = ((iota_c == i0[:, None]) |
                         (iota_c == idxs[:, r][:, None]))
                 b = jnp.where(pair & flip[:, None], -b, b)
-                switched = switched | flip
+                if spc_exact:
+                    odd = odd ^ flip
+                else:
+                    switched = switched | flip
             return (zero_chunk, llr_scratch, b, row[C_BDST],
                     zero_chunk, beta_scratch, refs[:, gperm],
                     _reset_row(brefs[:, gperm], row[C_SIDW],

@@ -42,7 +42,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..fec.scl_vm import (C_BDST, C_BSRC, C_BSRC2, C_D, C_DST, C_LAST,
                           C_OP, C_SIDR, C_SIDR2, C_SIDW, C_SRC, C_SRC2,
-                          C_SUB, C_WIDTH, CHUNK, T_RATE1, build_schedule)
+                          C_SUB, C_WIDTH, CHUNK, T_RATE1, build_schedule,
+                          scl_params)
 
 BIG = 3.0e38
 CHUNK2 = 128      # tier-2 tile width (node width <= 128)
@@ -61,7 +62,8 @@ CHUNK2 = 128      # tier-2 tile width (node width <= 128)
 def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                         frames_per_cell: int = 1,
                         interpret: bool = False, ops_override=None,
-                        beta_bf16: bool = True, exact: bool = False):
+                        beta_bf16: bool = True, exact: bool = False,
+                        decompose_spc: bool = False):
     """Compile the Pallas SCL decoder for one frozen mask.
 
     Returns fn: llrs [batch, code_len] f32 -> (codewords [batch, L,
@@ -72,10 +74,16 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
     beta_bf16 stores the partial-sum buffers as bfloat16 — exact, since
     betas are only {-1, 0, +1} — halving that scratch so more frames
     fit per cell.
+
+    exact=True: bit-by-bit-SCL-equivalent rules (exact SPC parity-
+    adjuster rule + L-1 RATE1 fork rounds) on the same schedule;
+    decompose_spc=True instead decomposes SPC nodes into subtrees
+    (the round-2 exact path, ~2x the ops; cross-check oracle).
     """
+    emit_spc, t_r1, t_spc, spc_exact = scl_params(list_size, exact,
+                                                  decompose_spc)
     sched = build_schedule(np.asarray(frozen, dtype=np.uint8).tobytes(),
-                           emit_spc=not exact)
-    t_r1 = (list_size - 1) if exact else T_RATE1
+                           emit_spc=emit_spc)
     if ops_override is not None:
         import dataclasses as _dc
         sched = _dc.replace(sched, ops=np.asarray(ops_override,
@@ -675,12 +683,13 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                         return 0
                     return run
 
-                def least_reliable(mag, iota, w=None):
-                    """T smallest |llr| per lane: [P, T] vals + idx."""
-                    del w  # CW is a valid out-of-range sentinel for any w
+                def least_reliable(mag, iota, count):
+                    """`count` smallest |llr| per lane: [P, T] vals + idx.
+                    (CW is a valid out-of-range index sentinel for any
+                    node width.)"""
                     vals_l, idxs_l = [], []
                     mag_t = mag
-                    for _k in range(t_r1):
+                    for _k in range(count):
                         v = jnp.min(mag_t, axis=1, keepdims=True)
                         at = jnp.min(jnp.where(mag_t == v, iota, CW),
                                      axis=1, keepdims=True)
@@ -733,11 +742,18 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
 
                 def spc_core(a, w, carry, s_col=None):
                     """Single-parity-check list decode of `a` over `w`
-                    columns: parity-fix the hard decisions, fork on
-                    exclusive pair flips {i0, ij}.  `s_col` [P, 1] and
-                    `carry` [P, CW] are per-lane payloads carried
-                    through the forks.  Returns (betas, carry, s_col,
-                    pm)."""
+                    columns: parity-fix the hard decisions, then fork
+                    on least-reliable flips paired with an i0 toggle.
+                    Fast mode: at most one exclusive pair flip {i0, ij}
+                    per path (`switched`).  Exact mode: i0 is a
+                    toggling parity adjuster (`odd` tracks its state,
+                    delta = v_r -/+ v_0) and paths accumulate flips
+                    over t_spc-1 = L-1 rounds — bit-by-bit SCL exact
+                    (Sarkis et al.; parity vs the numpy oracle in
+                    tests/test_pallas.py / test_scl_vm.py).  `s_col`
+                    [P, 1] and `carry` [P, CW] are per-lane payloads
+                    carried through the forks.  Returns (betas, carry,
+                    s_col, pm)."""
                     if s_col is None:
                         s_col = jnp.ones((P, 1), jnp.float32)
                     valid = cmask(w)
@@ -748,18 +764,19 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                     negs = jnp.sum(jnp.where(b < 0.0, 1, 0), axis=1,
                                    keepdims=True)          # [P, 1]
                     odd = (negs % 2) == 1
-                    vals, idxs = least_reliable(mag, iota, w)
+                    vals, idxs = least_reliable(mag, iota, t_spc)
                     v0 = vals[:, 0:1]
                     i0 = idxs[:, 0:1]
                     pm = pm_row() + jnp.where(odd, v0, 0.0).T
                     b = jnp.where((iota == i0) & odd, -b, b)
                     switched = jnp.zeros((P, 1), jnp.int32)
                     pm2 = pm
-                    for r in range(1, t_r1):
+                    for r in range(1, t_spc):
                         vr = vals[:, r:r + 1]
                         delta = jnp.where(odd, vr - vals[:, 0:1],
                                           vr + vals[:, 0:1])
-                        delta = jnp.where(switched > 0, BIG, delta)
+                        if not spc_exact:
+                            delta = jnp.where(switched > 0, BIG, delta)
                         perm, flip, pm2 = select_l(pm2, delta)
                         pmat = perm_matrix(perm)
                         b = jnp.dot(pmat, b,
@@ -780,7 +797,13 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                                  s_col],
                                 axis=1),
                             preferred_element_type=jnp.float32))
-                        odd = oddsw[:, 0:1] > 0.5
+                        oddf = oddsw[:, 0:1]
+                        if spc_exact:
+                            # odd ^= flip, in f32 (Mosaic rejects i1
+                            # vector selects): a+b-2ab is XOR on {0,1}
+                            flipf = flip.astype(jnp.float32)
+                            oddf = oddf + flipf - 2.0 * oddf * flipf
+                        odd = oddf > 0.5
                         switched = oddsw[:, 1:2].astype(jnp.int32)
                         s_col = oddsw[:, 2:3]
                         if carry is not None:
@@ -791,7 +814,8 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                         pair = ((iota == idxs[:, 0:1]) |
                                 (iota == idxs[:, r:r + 1]))
                         b = jnp.where(pair & (flip > 0), -b, b)
-                        switched = switched | flip
+                        if not spc_exact:
+                            switched = switched | flip
                     return b, carry, s_col, pm2
 
                 def spc_leaf_core(a, w, carry):

@@ -115,3 +115,20 @@ def test_pallas_all_opcode_classes():
     for b in range(llrs.shape[0]):
         assert (np.sort(cws_r[b], axis=0) ==
                 np.sort(cws_p[b], axis=0)).all()
+
+
+def test_pallas_exact_mode_oracle_parity(toy_llrs):
+    """exact=True in the kernel (exact SPC parity-adjuster rule, L-1
+    RATE1 rounds) must reproduce the bit-by-bit numpy oracle's
+    surviving set strictly, through the fused REP-SPC / prefix-suffix
+    leaf paths (round-3 serving default)."""
+    from modem_tpu.fec.scl_np import scl_decode_np
+    cw, llrs = toy_llrs
+    pal = make_pallas_decoder(TOY.frozen, 8, frames_per_cell=2,
+                              interpret=True, exact=True)
+    cws_p, pm_p = (np.asarray(v) for v in pal(jnp.asarray(llrs)))
+    for b in range(llrs.shape[0]):
+        cnp, pnp = scl_decode_np(llrs[b], TOY.frozen, 8)
+        assert np.allclose(np.sort(pm_p[b]), np.sort(pnp),
+                           rtol=1e-4, atol=1e-2)
+        assert (np.sort(cws_p[b], axis=0) == np.sort(cnp, axis=0)).all()

@@ -63,10 +63,11 @@ def test_noisy_matches_numpy_quality(toy_dec):
 
 
 def test_exact_mode_strict_toy_parity():
-    """exact=True (no SPC leaves, L-1 RATE1 forks) must reproduce the
-    bit-by-bit oracle's surviving set EXACTLY — codeword sets equal and
-    path metrics equal to f32 tolerance — not just recover the frame
-    (Sarkis et al. equivalence; VERDICT r1 task 1)."""
+    """exact=True (exact SPC parity-adjuster rule + L-1 RATE1 forks)
+    must reproduce the bit-by-bit oracle's surviving set EXACTLY —
+    codeword sets equal and path metrics equal to f32 tolerance — not
+    just recover the frame (Sarkis et al. equivalence; VERDICT r1
+    task 1, r2 task 1)."""
     rng = np.random.default_rng(5)
     dec = jax.jit(make_decoder(TOY.frozen, 8, exact=True))
     cw, tx = _tx(rng)
@@ -79,6 +80,33 @@ def test_exact_mode_strict_toy_parity():
                            rtol=1e-4, atol=1e-2)
         assert (np.sort(np.asarray(cws), axis=0)
                 == np.sort(cnp, axis=0)).all()
+
+
+def test_exact_spc_vs_decomposed_subtrees():
+    """The exact SPC leaf op (round 3) must agree with the round-2
+    decomposed-subtree exact schedule AND the oracle, at HIGH noise
+    where paths accumulate multiple SPC flips — the regime the old
+    one-pair-flip approximation cannot reach."""
+    from modem_tpu.fec.scl_vm import OP_SPC
+    sched = build_schedule(TOY.frozen.tobytes())
+    assert (sched.ops[:, 0] == OP_SPC).sum() >= 5   # toy exercises SPC
+    rng = np.random.default_rng(11)
+    dec_x = jax.jit(make_decoder(TOY.frozen, 8, exact=True))
+    dec_d = jax.jit(make_decoder(TOY.frozen, 8, exact=True,
+                                 decompose_spc=True))
+    cw, tx = _tx(rng)
+    for _ in range(8):
+        rx = tx + 0.9 * rng.standard_normal(TOY.n)
+        llr = TOY.lengthen_np(2 * rx / 0.81).astype(np.float32)
+        cx, px = dec_x(jnp.asarray(llr))
+        cd, pd = dec_d(jnp.asarray(llr))
+        cnp, pnp = scl_decode_np(llr, TOY.frozen, 8)
+        assert (np.sort(np.asarray(cx), axis=0)
+                == np.sort(np.asarray(cd), axis=0)).all()
+        assert (np.sort(np.asarray(cx), axis=0)
+                == np.sort(cnp, axis=0)).all()
+        assert np.allclose(np.sort(np.asarray(px)), np.sort(pnp),
+                           rtol=1e-4, atol=1e-2)
 
 
 # Oracle outcomes from the wire-size A/B sweep (bench/ab_scl.py,
