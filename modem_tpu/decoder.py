@@ -61,7 +61,7 @@ class Decoder:
     """Per-rate decoder; payload pipelines jit-specialise per mode."""
 
     def __init__(self, rate: int, list_size: int = 8,
-                 device_scl="auto", scl_exact: bool = False):
+                 device_scl="auto", scl_exact: bool = True):
         # mode choice does not affect the front-end/sync/header stages
         from .numerology import SUPPORTED_RATES
         if rate not in SUPPORTED_RATES:
@@ -69,10 +69,12 @@ class Decoder:
         self.rate = rate
         self.cfg = ModemConfig(rate=rate, mode=MODES[6], freq_off=0)
         self.list_size = list_size
-        # scl_exact: bit-by-bit-SCL-equivalent device schedule (no SPC
-        # leaves, L-1 RATE1 forks); default is the Fast-SSC-List
-        # schedule whose measured wire-size gap is 1 frame in 500
-        # (bench/ab_scl.py)
+        # scl_exact (default True): provably bit-by-bit-SCL-equivalent
+        # device decode via the one-shot RATE1/SPC enumeration
+        # (scl_vm._oneshot) — the reference's fork-at-every-info-bit
+        # semantics (decode.cc:530) at ~5% over the Fast-SSC-List
+        # approximation, whose measured wire-size gap was 1 frame in
+        # 500 (bench/ab_scl.py)
         self.scl_exact = scl_exact
         # device_scl: run list decoding through the on-device schedule
         # VM / Pallas kernel instead of the host numpy reference.  The

@@ -50,6 +50,17 @@ import numpy as np
 CHUNK = 512      # static op width (columns)
 T_RATE1 = 4      # fork rounds per RATE1 node
 
+# Exact one-shot enumeration table: all 2^7 subsets of the 7
+# least-reliable flip positions as a 0/1 matrix.  PAT7 @ vals gives
+# every candidate's flip penalty in one pass; SPAR7 is each pattern's
+# popcount parity (the SPC parity-adjuster term).  7 positions suffice
+# for a list of 8: the k smallest subset sums of non-negative values
+# use only the k-1 smallest elements (the empty set plus the k-1
+# singletons already dominate any subset containing a larger element).
+PAT7 = ((np.arange(128)[None, :] >> np.arange(7)[:, None]) & 1
+        ).astype(np.float32)                       # [7, 128]
+SPAR7 = (PAT7.sum(axis=0) % 2).astype(np.float32)  # [128]
+
 OP_F, OP_G, OP_COMBINE, OP_RATE0, OP_REP, OP_RATE1, OP_SPC = range(7)
 
 # operand columns (C_SUB marks internal-node ops whose half width is
@@ -208,14 +219,19 @@ def scl_params(list_size: int, exact: bool, decompose_spc: bool):
     """Shared knob derivation for the three SCL backends.
 
     Returns (emit_spc, t_r1, t_spc, spc_exact):
-      * fast (exact=False): SPC leaves with the T_RATE1-round pair-flip
-        approximation (Fast-SSC-List).
-      * exact=True: SPC leaves with the exact parity-adjuster rule
-        (t_spc = L extractions, L-1 fork rounds) and L-1 RATE1 rounds —
-        bit-by-bit SCL equivalent at the fast schedule's op count.
-      * exact=True, decompose_spc=True: the round-2 exact path (SPC
-        nodes decomposed into subtrees, ~2x the ops) — retained as a
-        cross-validation oracle for the exact SPC op.
+      * exact=True (the serving default): RATE1/SPC leaves decode with
+        the ONE-SHOT enumeration (global top-L over the [L, 128]
+        candidate matrix of per-lane flip subsets; parity-forced i0
+        for SPC) — bit-by-bit SCL equivalent at ~the fast schedule's
+        cost (measured 1.70 vs 1.61 ms/frame on chip).
+      * exact=False: Fast-SSC-List approximation — T_RATE1 serial fork
+        rounds per RATE1 node, exclusive pair flips per SPC node
+        (measured gap: 1 frame in 500 across the sensitivity edge).
+      * exact=True, decompose_spc=True: SPC nodes decomposed into
+        subtrees (the round-2 exact path, ~2x the ops) — retained as a
+        cross-validation oracle for the one-shot SPC op.
+    t_r1/t_spc parameterize only the serial (fast / RATE1-subtree)
+    rounds; the one-shot path enumerates all 2^7 subsets statically.
     """
     emit_spc = not (exact and decompose_spc)
     t_r1 = (list_size - 1) if exact else T_RATE1
@@ -224,7 +240,7 @@ def scl_params(list_size: int, exact: bool, decompose_spc: bool):
 
 
 def make_batch_decoder(frozen: np.ndarray, batch: int,
-                       list_size: int = 8, exact: bool = False,
+                       list_size: int = 8, exact: bool = True,
                        decompose_spc: bool = False):
     """Batched SCL decoder with a TPU-friendly buffer layout.
 
@@ -356,13 +372,72 @@ def make_batch_decoder(frozen: np.ndarray, batch: int,
                     _reset_row(int_select(brefs, s), row[C_SIDW],
                                row[C_LAST]), pm2)
 
+        def _extract(mag, t):
+            """t smallest |llr| per lane by iterative min-extraction
+            (a full top_k sort lowers poorly here): [W, t] vals+idxs."""
+            iota_c = jnp.arange(CHUNK)[:, None]
+            vals_l, idxs_l = [], []
+            mag_t = mag
+            for _ in range(t):
+                v = jnp.min(mag_t, axis=0)
+                at = jnp.min(jnp.where(mag_t == v[None, :], iota_c,
+                                       CHUNK), axis=0)
+                vals_l.append(v)
+                idxs_l.append(at)
+                mag_t = jnp.where(iota_c == at[None, :], big, mag_t)
+            return jnp.stack(vals_l, axis=1), jnp.stack(idxs_l, axis=1)
+
+        def _oneshot(b, mag, pm_in, odd, row):
+            """One-shot exact list decode of a RATE1 (odd=None) or SPC
+            node — see make_decoder._oneshot; batch layout [CHUNK, W]
+            with per-frame top-L over the [L, 128] candidate block."""
+            t = 7 if odd is None else 8
+            fl0 = 0 if odd is None else 1
+            iota_c = jnp.arange(CHUNK)[:, None]
+            vals, idxs = _extract(mag, t)              # [W, t]
+            subs = jnp.zeros((W, 128), jnp.float32)
+            for j in range(7):
+                subs = subs + vals[:, fl0 + j, None] * PAT7[j][None, :]
+            if odd is None:
+                cand = pm_in[:, None] + subs
+            else:
+                i0_in = odd[:, None] ^ (SPAR7 > 0.5)[None, :]
+                cand = pm_in[:, None] + subs + jnp.where(
+                    i0_in, vals[:, 0, None], 0.0)
+            neg, order = jax.lax.top_k(-cand.reshape(B, L * 128), L)
+            pm2 = -neg.reshape(W)
+            pat = (order % 128).reshape(W)
+            perm_flat = (order // 128
+                         + jnp.asarray(lane_b).reshape(B, L)).reshape(W)
+            s = lane_matrix(perm_flat)
+            b2 = lane_select(b, s)
+            idxs_s = int_select(idxs.T, s).T           # [W, t]
+            patbits = jnp.take(jnp.asarray(PAT7), pat, axis=1).T
+            flip = jnp.zeros((CHUNK, W), jnp.float32)
+            for j in range(7):
+                flip = flip + patbits[:, j][None, :] * (
+                    iota_c == idxs_s[:, fl0 + j][None, :])
+            if odd is not None:
+                odd_s = int_select(
+                    odd.astype(jnp.int32)[None, :], s)[0].astype(
+                    jnp.float32)
+                sp = jnp.take(jnp.asarray(SPAR7), pat)
+                i0bit = odd_s + sp - 2.0 * odd_s * sp   # XOR on {0,1}
+                flip = flip + i0bit[None, :] * (
+                    iota_c == idxs_s[:, 0][None, :])
+            b2 = jnp.where(flip > 0.5, -b2, b2)
+            return (zero_chunk, llr_scratch, b2, row[C_BDST],
+                    zero_chunk, beta_scratch, int_select(refs, s),
+                    _reset_row(int_select(brefs, s), row[C_SIDW],
+                               row[C_LAST]), pm2)
+
         def op_rate1(_):
             a = rd_llr(row[C_SRC])
             valid = (jnp.arange(CHUNK) < row[C_WIDTH])[:, None]
             mag = jnp.where(valid, jnp.abs(a), big)
             b_local = jnp.where(a < 0, -1.0, 1.0) * valid
-            # T least-reliable positions per lane by iterative
-            # min-extraction (a full top_k sort lowers poorly here)
+            if spc_exact:
+                return _oneshot(b_local, mag, pm, None, row)
             iota_c = jnp.arange(CHUNK)[:, None]
             vals_l, idxs_l = [], []
             mag_t = mag
@@ -394,36 +469,21 @@ def make_batch_decoder(frozen: np.ndarray, batch: int,
                                row[C_LAST]), pm2)
 
         def op_spc(_):
-            """Single-parity-check node: parity-fix the hard decisions,
-            then fork on flips of the least-reliable positions, each
-            paired with a toggle of the parity position i0.
-
-            Fast mode (spc_exact=False): Fast-SSC-List pair-flip
-            approximation — a path takes at most ONE pair flip (the
-            `switched` blocker).  Exact mode: i0 is a toggling parity
-            adjuster (`odd` tracks whether it is currently flipped,
-            delta = v_r -/+ v_0 accordingly) and paths accumulate flips
-            across t_spc-1 = L-1 rounds, which reproduces bit-by-bit
-            SCL exactly (Sarkis et al., "Fast List Decoders for Polar
-            Codes"; validated against the decomposed-subtree schedule
-            and the numpy oracle in tests/test_scl_vm.py)."""
+            """Single-parity-check node.  Fast mode: parity-fix the
+            hard decisions, then fork on exclusive pair flips {i0, ij}
+            (Fast-SSC-List; a path takes at most ONE pair flip via the
+            `switched` blocker).  Exact mode: one-shot enumeration with
+            the parity bit i0 forced per candidate subset (_oneshot) —
+            bit-by-bit SCL exact (tests/test_scl_vm.py)."""
             a = rd_llr(row[C_SRC])
             valid = (jnp.arange(CHUNK) < row[C_WIDTH])[:, None]
             mag = jnp.where(valid, jnp.abs(a), big)
             b = jnp.where(a < 0, -1.0, 1.0) * valid
             odd = (jnp.sum(b < 0, axis=0) % 2) == 1           # [W]
+            if spc_exact:
+                return _oneshot(b, mag, pm, odd, row)
             iota_c = jnp.arange(CHUNK)[:, None]
-            vals_l, idxs_l = [], []
-            mag_t = mag
-            for _k in range(t_spc):
-                v = jnp.min(mag_t, axis=0)
-                at = jnp.min(jnp.where(mag_t == v[None, :], iota_c,
-                                       CHUNK), axis=0)
-                vals_l.append(v)
-                idxs_l.append(at)
-                mag_t = jnp.where(iota_c == at[None, :], big, mag_t)
-            vals = jnp.stack(vals_l, axis=1)                  # [W, T]
-            idxs = jnp.stack(idxs_l, axis=1)
+            vals, idxs = _extract(mag, t_spc)                 # [W, T]
             pm2 = pm + jnp.where(odd, vals[:, 0], 0.0)
             b = jnp.where((iota_c == idxs[:, 0][None, :]) &
                           odd[None, :], -b, b)
@@ -432,8 +492,7 @@ def make_batch_decoder(frozen: np.ndarray, batch: int,
             for r in range(1, t_spc):
                 delta = jnp.where(odd, vals[:, r] - vals[:, 0],
                                   vals[:, r] + vals[:, 0])
-                if not spc_exact:
-                    delta = jnp.where(switched, big, delta)
+                delta = jnp.where(switched, big, delta)
                 perm, flip, pm2 = select(pm2, delta)
                 s = lane_matrix(perm)
                 b = lane_select(b, s)
@@ -447,10 +506,7 @@ def make_batch_decoder(frozen: np.ndarray, batch: int,
                 pair = ((iota_c == idxs[:, 0][None, :]) |
                         (iota_c == idxs[:, r][None, :]))
                 b = jnp.where(pair & flip[None, :], -b, b)
-                if spc_exact:
-                    odd = odd ^ flip
-                else:
-                    switched = switched | flip
+                switched = switched | flip
             s = lane_matrix(gperm)
             return (zero_chunk, llr_scratch, b, row[C_BDST],
                     zero_chunk, beta_scratch, int_select(refs, s),
@@ -492,7 +548,7 @@ def make_batch_decoder(frozen: np.ndarray, batch: int,
 
 
 def make_decoder(frozen: np.ndarray, list_size: int = 8,
-                 exact: bool = False, decompose_spc: bool = False):
+                 exact: bool = True, decompose_spc: bool = False):
     """Compile an SCL decoder for one frozen mask.
 
     Returns a function llrs [code_len] -> (codewords [L, code_len] 0/1,
@@ -577,6 +633,8 @@ def make_decoder(frozen: np.ndarray, list_size: int = 8,
             valid = jnp.arange(CHUNK) < row[C_WIDTH]
             mag = jnp.where(valid[None, :], jnp.abs(a), big)
             b_local = jnp.where(a < 0, -1.0, 1.0) * valid[None, :]
+            if spc_exact:
+                return _oneshot(b_local, mag, pm, None, row)
             vals, idxs = jax.lax.top_k(-mag, t_r1)
             vals = -vals
             gperm = jnp.arange(L)
@@ -596,18 +654,66 @@ def make_decoder(frozen: np.ndarray, list_size: int = 8,
                     _reset_row(brefs[:, gperm], row[C_SIDW],
                                row[C_LAST]), pm2)
 
+        def _oneshot(b, mag, pm_in, odd, row):
+            """One-shot exact list decode of a RATE1 (odd=None) or SPC
+            node: enumerate every candidate flip set as (source lane,
+            subset of the 7 least-reliable positions [plus the
+            parity-forced i0 for SPC]) and take the global top-L in a
+            single selection.  Equal to bit-by-bit SCL by the greedy-
+            dominance argument (a path pruned at bit i cannot beat any
+            survivor's zero-cost extension), with all serial fork
+            rounds replaced by one candidate matrix [L, 128]."""
+            t = 7 if odd is None else 8
+            iota_c = jnp.arange(CHUNK)[None, :]
+            nvals, idxs = jax.lax.top_k(-mag, t)
+            vals = -nvals                              # [L, t] ascending
+            fl0 = 0 if odd is None else 1
+            subs = jnp.zeros((L, 128), jnp.float32)
+            for j in range(7):
+                subs = subs + vals[:, fl0 + j, None] * PAT7[j][None, :]
+            if odd is None:
+                cand = pm_in[:, None] + subs
+            else:
+                i0_in = odd[:, None] ^ (SPAR7 > 0.5)[None, :]
+                cand = pm_in[:, None] + subs + jnp.where(
+                    i0_in, vals[:, 0, None], 0.0)
+            neg, order = jax.lax.top_k(-cand.reshape(L * 128), L)
+            pm2 = -neg
+            src = order // 128
+            pat = order % 128
+            patbits = jnp.take(jnp.asarray(PAT7), pat, axis=1).T  # [L,7]
+            idxs_s = jnp.take(idxs, src, axis=0)
+            b2 = jnp.take(b, src, axis=0)
+            flip = jnp.zeros((L, CHUNK), jnp.float32)
+            for j in range(7):
+                flip = flip + patbits[:, j, None] * (
+                    iota_c == idxs_s[:, fl0 + j, None])
+            if odd is not None:
+                i0bit = (jnp.take(odd, src).astype(jnp.float32)
+                         + jnp.take(jnp.asarray(SPAR7), pat))
+                i0bit = i0bit - 2.0 * jnp.take(
+                    odd, src).astype(jnp.float32) * jnp.take(
+                    jnp.asarray(SPAR7), pat)           # XOR on {0,1}
+                flip = flip + i0bit[:, None] * (
+                    iota_c == idxs_s[:, 0, None])
+            b2 = jnp.where(flip > 0.5, -b2, b2)
+            return (zero_chunk, llr_scratch, b2, row[C_BDST],
+                    zero_chunk, beta_scratch, refs[:, src],
+                    _reset_row(brefs[:, src], row[C_SIDW],
+                               row[C_LAST]), pm2)
+
         def op_spc(_):
-            """Single-parity-check node: parity-fix the hard decisions,
-            then fork on least-reliable flips paired with an i0 toggle.
-            Fast mode: one exclusive pair flip per path (`switched`).
-            Exact mode: i0 is a toggling parity adjuster (`odd`), paths
-            accumulate flips over L-1 rounds == bit-by-bit SCL (see the
-            batch variant's docstring)."""
+            """Single-parity-check node.  Fast mode: parity-fix the
+            hard decisions, then fork on exclusive pair flips {i0, ij}
+            (Fast-SSC-List).  Exact mode: one-shot enumeration with the
+            parity bit i0 forced per candidate subset (see _oneshot)."""
             a = rd_llr(row[C_SRC])
             valid = (jnp.arange(CHUNK) < row[C_WIDTH])[None, :]
             mag = jnp.where(valid, jnp.abs(a), big)
             b = jnp.where(a < 0, -1.0, 1.0) * valid
             odd = (jnp.sum(b < 0, axis=-1) % 2) == 1          # [L]
+            if spc_exact:
+                return _oneshot(b, mag, pm, odd, row)
             iota_c = jnp.arange(CHUNK)[None, :]
             vals_l, idxs_l = [], []
             mag_t = mag
@@ -629,8 +735,7 @@ def make_decoder(frozen: np.ndarray, list_size: int = 8,
             for r in range(1, t_spc):
                 delta = jnp.where(odd, vals[:, r] - v0,
                                   vals[:, r] + v0)
-                if not spc_exact:
-                    delta = jnp.where(switched, big, delta)
+                delta = jnp.where(switched, big, delta)
                 perm, flip, pm2 = _select_paths(
                     jnp.concatenate([pm2, pm2 + delta]), L)
                 b = jnp.take(b, perm, axis=0)
@@ -644,10 +749,7 @@ def make_decoder(frozen: np.ndarray, list_size: int = 8,
                 pair = ((iota_c == i0[:, None]) |
                         (iota_c == idxs[:, r][:, None]))
                 b = jnp.where(pair & flip[:, None], -b, b)
-                if spc_exact:
-                    odd = odd ^ flip
-                else:
-                    switched = switched | flip
+                switched = switched | flip
             return (zero_chunk, llr_scratch, b, row[C_BDST],
                     zero_chunk, beta_scratch, refs[:, gperm],
                     _reset_row(brefs[:, gperm], row[C_SIDW],

@@ -42,8 +42,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..fec.scl_vm import (C_BDST, C_BSRC, C_BSRC2, C_D, C_DST, C_LAST,
                           C_OP, C_SIDR, C_SIDR2, C_SIDW, C_SRC, C_SRC2,
-                          C_SUB, C_WIDTH, CHUNK, T_RATE1, build_schedule,
-                          scl_params)
+                          C_SUB, C_WIDTH, CHUNK, T_RATE1,
+                          build_schedule, scl_params)
 
 BIG = 3.0e38
 CHUNK2 = 128      # tier-2 tile width (node width <= 128)
@@ -62,7 +62,7 @@ CHUNK2 = 128      # tier-2 tile width (node width <= 128)
 def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                         frames_per_cell: int = 1,
                         interpret: bool = False, ops_override=None,
-                        beta_bf16: bool = True, exact: bool = False,
+                        beta_bf16: bool = True, exact: bool = True,
                         decompose_spc: bool = False):
     """Compile the Pallas SCL decoder for one frozen mask.
 
@@ -75,10 +75,12 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
     betas are only {-1, 0, +1} — halving that scratch so more frames
     fit per cell.
 
-    exact=True: bit-by-bit-SCL-equivalent rules (exact SPC parity-
-    adjuster rule + L-1 RATE1 fork rounds) on the same schedule;
-    decompose_spc=True instead decomposes SPC nodes into subtrees
-    (the round-2 exact path, ~2x the ops; cross-check oracle).
+    exact=True (default): bit-by-bit-SCL-equivalent one-shot RATE1/
+    SPC enumeration (oneshot_core / select_flat) on the same schedule,
+    measured at ~5% over the Fast-SSC-List approximation (exact=
+    False); decompose_spc=True instead decomposes SPC nodes into
+    subtrees (the round-2 exact path, ~2x the ops; cross-check
+    oracle).
     """
     emit_spc, t_r1, t_spc, spc_exact = scl_params(list_size, exact,
                                                   decompose_spc)
@@ -382,6 +384,92 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
 
         return select
 
+    def make_select_flat():
+        """Returns select(cand [P, 128]) -> (perm [P, 1] source lanes,
+        patp [P, 1] winning pattern ids, pm [1, P]).
+
+        Per-frame global top-L over each frame's L x 128 candidate
+        block (the one-shot exact enumeration: every (source lane,
+        flip-subset pattern) pair is one candidate).  L iterative
+        extraction rounds; each round takes the per-lane column min,
+        reduces it across the frame's lanes in row space, recovers the
+        winning lane's pattern the same way, and masks the winning
+        cell.  >= L finite candidates always exist (pattern 0 of every
+        lane costs pm + 0), so a masked cell (BIG) is never re-picked.
+        Tie-breaking matches the VM's flat lane*128+pattern top_k:
+        lowest pattern within a lane, then lowest lane."""
+        lane_iota = iota2((F, P), 1)
+        gmask = lane_iota // L == iota2((F, P), 0)
+        lane_frame = iota2((P, F), 0) // L
+        fsel = (iota2((P, F), 1) == lane_frame).astype(jnp.float32)
+        lsel = (iota2((L, P), 1) % L == iota2((L, P), 0)).astype(
+            jnp.float32)
+        eye_p = (iota2((P, P), 0) == iota2((P, P), 1)).astype(
+            jnp.float32)
+        ksel = iota2((F, L), 1)
+        i128 = iota2((P, 128), 1)
+        lane_col = iota2((P, 1), 0)
+
+        def to_lane(v):
+            """[F, L] -> [P, 1]; ints < 256 so plain dots are exact."""
+            a = jnp.dot(fsel, jnp.dot(v, lsel,
+                                      preferred_element_type=jnp.float32),
+                        preferred_element_type=jnp.float32)
+            return jnp.sum(a * eye_p, axis=1, keepdims=True)
+
+        def to_lane_val(v):
+            hi = v.astype(jnp.bfloat16).astype(jnp.float32)
+            rem = v - hi
+            mid = rem.astype(jnp.bfloat16).astype(jnp.float32)
+            lo = rem - mid
+            d = lambda p: jnp.dot(p, lsel,
+                                  preferred_element_type=jnp.float32)
+            a = dot_sel(fsel, d(hi) + (d(mid) + d(lo)))
+            return jnp.sum(a * eye_p, axis=1, keepdims=True)
+
+        def select(cand):
+            def body(k, carry):
+                cand, at_all, pw_all, m_all = carry
+                colmin = jnp.min(cand, axis=1, keepdims=True)   # [P, 1]
+                colat = jnp.min(jnp.where(cand == colmin, i128, 128),
+                                axis=1, keepdims=True)          # [P, 1]
+                rowm = jnp.where(gmask,
+                                 jnp.broadcast_to(colmin.T, (F, P)),
+                                 BIG)
+                m = jnp.min(rowm, axis=1, keepdims=True)        # [F, 1]
+                at = jnp.min(jnp.where(rowm == m, lane_iota, P),
+                             axis=1, keepdims=True)             # [F, 1]
+                rowp = jnp.where(gmask & (lane_iota == at),
+                                 jnp.broadcast_to(
+                                     colat.astype(jnp.float32).T,
+                                     (F, P)),
+                                 jnp.float32(128))
+                pw = jnp.min(rowp, axis=1, keepdims=True)       # [F, 1]
+                sel = ksel == k
+                at_all = jnp.where(sel, at.astype(jnp.float32), at_all)
+                pw_all = jnp.where(sel, pw, pw_all)
+                m_all = jnp.where(sel, m, m_all)
+                at_p = jnp.round(jnp.dot(
+                    fsel, at.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)).astype(
+                    jnp.int32)                                  # [P, 1]
+                pw_p = jnp.round(jnp.dot(
+                    fsel, pw,
+                    preferred_element_type=jnp.float32)).astype(
+                    jnp.int32)
+                hit = (lane_col == at_p) & (i128 == pw_p)
+                cand = jnp.where(hit, BIG, cand)
+                return cand, at_all, pw_all, m_all
+
+            zf = jnp.zeros((F, L), jnp.float32)
+            cand, at_all, pw_all, m_all = jax.lax.fori_loop(
+                0, L, body, (cand, zf, zf, zf))
+            perm = jnp.round(to_lane(at_all)).astype(jnp.int32)
+            patp = jnp.round(to_lane(pw_all)).astype(jnp.int32)
+            return perm, patp, to_lane_val(m_all).T
+
+        return select
+
     def kernel(ops_ref, llr_in_ref, cw_ref, pm_ref, llr_d0, llr_s,
                beta_s, llr2_s, beta2_s, refs_s, pm_s):
         # ---- per-cell init -------------------------------------------
@@ -477,6 +565,7 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                     axis=1)
 
         select_l = make_select_l_smallest()
+        select_flat = make_select_flat() if spc_exact else None
 
         # ---- schedule interpreter ------------------------------------
         def body(i, _):
@@ -700,6 +789,10 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                             jnp.concatenate(idxs_l, axis=1))
 
                 def rate1_core(a, w, carry):
+                    if spc_exact:
+                        b, carry, _s, pm2 = oneshot_core(a, w, carry,
+                                                         None, False)
+                        return b, carry, pm2
                     valid = cmask(w)
                     mag = jnp.where(valid, jnp.abs(a), BIG)
                     b_local = jnp.where(valid,
@@ -740,20 +833,101 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                         permute_refs(perm)
                     return b_local, carry, pm2
 
-                def spc_core(a, w, carry, s_col=None):
+                def oneshot_core(a, w, carry, s_col, spc):
+                    """One-shot exact list decode of a RATE1 (spc=
+                    False) or SPC node: every candidate flip set is a
+                    (source lane, subset of the 7 least-reliable
+                    positions [plus the parity-forced i0 for SPC])
+                    pair; the global per-frame top-L over the [P, 128]
+                    candidate matrix (select_flat) replaces all serial
+                    fork rounds.  Equal to bit-by-bit SCL by greedy
+                    dominance (a path pruned at bit i cannot beat any
+                    survivor's zero-cost extension) — parity vs the
+                    numpy oracle in tests/test_pallas.py.  ONE lane
+                    permutation of b/carry/s_col/refs instead of one
+                    per fork round.  Pattern bits are decoded
+                    arithmetically (no gathers) and subset sums
+                    accumulate on the VPU in f32 (no MXU bf16
+                    rounding)."""
+                    valid = cmask(w)
+                    mag = jnp.where(valid, jnp.abs(a), BIG)
+                    b = jnp.where(valid,
+                                  jnp.where(a < 0.0, -1.0, 1.0), 0.0)
+                    iota = iota2((P, CW), 1)
+                    t = 8 if spc else 7
+                    fl0 = 1 if spc else 0
+                    vals, idxs = least_reliable(mag, iota, t)
+                    # pattern bit j of pattern p is (p >> j) & 1 —
+                    # decoded arithmetically from an iota (pallas_call
+                    # rejects captured constant tables)
+                    subs = jnp.zeros((P, 128), jnp.float32)
+                    bitsum128 = jnp.zeros((P, 128), jnp.float32)
+                    pj128 = iota2((P, 128), 1).astype(jnp.float32)
+                    for j in range(7):
+                        bit = pj128 - 2.0 * jnp.floor(pj128 / 2.0)
+                        subs = subs + vals[:, fl0 + j: fl0 + j + 1] * bit
+                        bitsum128 = bitsum128 + bit
+                        pj128 = jnp.floor(pj128 / 2.0)
+                    cand = pm_row().T + subs
+                    if spc:
+                        negs = jnp.sum(jnp.where(b < 0.0, 1.0, 0.0),
+                                       axis=1, keepdims=True)
+                        odd = negs - 2.0 * jnp.floor(negs / 2.0)
+                        spar = bitsum128 - 2.0 * jnp.floor(
+                            bitsum128 / 2.0)       # pattern popcount parity
+                        i0_in = odd + spar - 2.0 * odd * spar  # XOR
+                        cand = cand + i0_in * vals[:, 0:1]
+                    perm, patp, pm2 = select_flat(cand)
+                    pmat = perm_matrix(perm)
+                    b = jnp.dot(pmat, b,
+                                preferred_element_type=jnp.float32)
+                    # bit positions > 256 are not bf16-exact: exact
+                    # 3-pass select for the 512-wide tier
+                    idxs_f = idxs.astype(jnp.float32)
+                    idxs_p = jnp.round(
+                        dot_sel(pmat, idxs_f) if CW > 256 else
+                        jnp.dot(pmat, idxs_f,
+                                preferred_element_type=jnp.float32)
+                    ).astype(jnp.int32)
+                    if carry is not None:
+                        carry = jnp.dot(
+                            pmat, carry,
+                            preferred_element_type=jnp.float32)
+                    if s_col is not None:
+                        s_col = jnp.dot(
+                            pmat, s_col,
+                            preferred_element_type=jnp.float32)
+                    if spc:
+                        odd = jnp.dot(pmat, odd,
+                                      preferred_element_type=jnp.float32)
+                    permute_refs(perm)
+                    flip = jnp.zeros((P, CW), jnp.float32)
+                    bitsum = jnp.zeros((P, 1), jnp.float32)
+                    pj = patp.astype(jnp.float32)
+                    for j in range(7):
+                        bit = pj - 2.0 * jnp.floor(pj / 2.0)
+                        bitsum = bitsum + bit
+                        flip = flip + jnp.where(
+                            iota == idxs_p[:, fl0 + j: fl0 + j + 1],
+                            bit, 0.0)
+                        pj = jnp.floor(pj / 2.0)
+                    if spc:
+                        sp = bitsum - 2.0 * jnp.floor(bitsum / 2.0)
+                        i0bit = odd + sp - 2.0 * odd * sp      # XOR
+                        flip = flip + jnp.where(
+                            iota == idxs_p[:, 0:1], i0bit, 0.0)
+                    b = jnp.where(flip > 0.5, -b, b)
+                    return b, carry, s_col, pm2
+
+                def spc_core_serial(a, w, carry, s_col=None):
                     """Single-parity-check list decode of `a` over `w`
-                    columns: parity-fix the hard decisions, then fork
-                    on least-reliable flips paired with an i0 toggle.
-                    Fast mode: at most one exclusive pair flip {i0, ij}
-                    per path (`switched`).  Exact mode: i0 is a
-                    toggling parity adjuster (`odd` tracks its state,
-                    delta = v_r -/+ v_0) and paths accumulate flips
-                    over t_spc-1 = L-1 rounds — bit-by-bit SCL exact
-                    (Sarkis et al.; parity vs the numpy oracle in
-                    tests/test_pallas.py / test_scl_vm.py).  `s_col`
-                    [P, 1] and `carry` [P, CW] are per-lane payloads
-                    carried through the forks.  Returns (betas, carry,
-                    s_col, pm)."""
+                    columns (Fast-SSC-List approximation): parity-fix
+                    the hard decisions, then fork on least-reliable
+                    flips paired with an i0 toggle — at most one
+                    exclusive pair flip {i0, ij} per path (the
+                    `switched` blocker).  `s_col` [P, 1] and `carry`
+                    [P, CW] are per-lane payloads carried through the
+                    forks.  Returns (betas, carry, s_col, pm)."""
                     if s_col is None:
                         s_col = jnp.ones((P, 1), jnp.float32)
                     valid = cmask(w)
@@ -775,8 +949,7 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                         vr = vals[:, r:r + 1]
                         delta = jnp.where(odd, vr - vals[:, 0:1],
                                           vr + vals[:, 0:1])
-                        if not spc_exact:
-                            delta = jnp.where(switched > 0, BIG, delta)
+                        delta = jnp.where(switched > 0, BIG, delta)
                         perm, flip, pm2 = select_l(pm2, delta)
                         pmat = perm_matrix(perm)
                         b = jnp.dot(pmat, b,
@@ -797,13 +970,7 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                                  s_col],
                                 axis=1),
                             preferred_element_type=jnp.float32))
-                        oddf = oddsw[:, 0:1]
-                        if spc_exact:
-                            # odd ^= flip, in f32 (Mosaic rejects i1
-                            # vector selects): a+b-2ab is XOR on {0,1}
-                            flipf = flip.astype(jnp.float32)
-                            oddf = oddf + flipf - 2.0 * oddf * flipf
-                        odd = oddf > 0.5
+                        odd = oddsw[:, 0:1] > 0.5
                         switched = oddsw[:, 1:2].astype(jnp.int32)
                         s_col = oddsw[:, 2:3]
                         if carry is not None:
@@ -814,9 +981,14 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                         pair = ((iota == idxs[:, 0:1]) |
                                 (iota == idxs[:, r:r + 1]))
                         b = jnp.where(pair & (flip > 0), -b, b)
-                        if not spc_exact:
-                            switched = switched | flip
+                        switched = switched | flip
                     return b, carry, s_col, pm2
+
+                if spc_exact:
+                    def spc_core(a, w, carry, s_col=None):
+                        return oneshot_core(a, w, carry, s_col, True)
+                else:
+                    spc_core = spc_core_serial
 
                 def spc_leaf_core(a, w, carry):
                     b, carry, _s, pm2 = spc_core(a, w, carry)

@@ -35,15 +35,16 @@ class BatchPipeline:
     def __init__(self, rate: int, oper_mode: int, list_size: int = 8,
                  mode_spec=None, symbol_len_override=None,
                  scl_backend: str = "auto", frames_per_cell: int = 0,
-                 scl_exact: bool = False):
+                 scl_exact: bool = True):
         """scl_backend: 'pallas' (VMEM-resident kernel, TPU only),
         'xla' (lax.scan VM), or 'auto' (pallas on TPU, xla elsewhere).
 
-        scl_exact=True selects the provably bit-by-bit-SCL-equivalent
-        schedule (no SPC leaves, L-1 RATE1 fork rounds) at ~2x the op
-        count; the default Fast-SSC-List schedule's measured gap is
-        1 frame in 500 across the sensitivity edge (bench/ab_scl.py,
-        docs/PERFORMANCE.md).
+        scl_exact (default True) selects the provably bit-by-bit-SCL-
+        equivalent one-shot RATE1/SPC enumeration — the reference's
+        fork-at-every-info-bit semantics (decode.cc:530) at ~5% cost
+        over the Fast-SSC-List approximation (scl_exact=False), whose
+        measured gap was 1 frame in 500 across the sensitivity edge
+        (bench/ab_scl.py, docs/PERFORMANCE.md).
 
         frames_per_cell: frames decoded together per Pallas grid cell
         (P = F*list lanes share one schedule pass; the per-op cost is
@@ -74,9 +75,11 @@ class BatchPipeline:
     def _auto_frames_per_cell(self, batch: int) -> int:
         """Largest F dividing batch whose Pallas scratch fits VMEM."""
         from .fec.scl_vm import CHUNK, build_schedule
+        # one-shot exact mode runs on the SAME SPC-leaf schedule as
+        # fast mode (scl_params: emit_spc unless decompose_spc)
         sched = build_schedule(
             np.asarray(self.code.frozen, dtype=np.uint8).tobytes(),
-            emit_spc=not self.scl_exact)
+            emit_spc=True)
         split = sched.code_len > CHUNK  # depth-0 LLRs shared per frame
         d0 = sched.code_len if split else 0
         per_lane = (sched.sz_llr - d0) * 4 + sched.sz_beta * 2

@@ -26,13 +26,14 @@ def toy_llrs():
 
 
 @pytest.mark.parametrize("frames_per_cell", [1, 2, 4])
-def test_pallas_matches_xla_vm(toy_llrs, frames_per_cell):
+@pytest.mark.parametrize("exact", [False, True])
+def test_pallas_matches_xla_vm(toy_llrs, frames_per_cell, exact):
     cw, llrs = toy_llrs
-    ref = jax.jit(jax.vmap(make_decoder(TOY.frozen, 8)))
+    ref = jax.jit(jax.vmap(make_decoder(TOY.frozen, 8, exact=exact)))
     cws_r, pm_r = (np.asarray(v) for v in ref(jnp.asarray(llrs)))
     pal = make_pallas_decoder(TOY.frozen, 8,
                               frames_per_cell=frames_per_cell,
-                              interpret=True)
+                              interpret=True, exact=exact)
     cws_p, pm_p = (np.asarray(v) for v in pal(jnp.asarray(llrs)))
     assert np.allclose(np.sort(pm_r, axis=1), np.sort(pm_p, axis=1))
     for b in range(llrs.shape[0]):

@@ -137,17 +137,20 @@ def test_wire_size_oracle_parity():
     on seeded frames across the sensitivity edge (CLAUDE.md contract:
     the device backends must match the oracle at wire size)."""
     code = PolarCode(n=64800, k=43072, order=16)
-    dec = jax.jit(make_decoder(code.frozen, 8))
+    dec_x = jax.jit(make_decoder(code.frozen, 8))       # exact default
+    dec_f = jax.jit(make_decoder(code.frozen, 8, exact=False))
     for sigma, i, expect in WIRE_ORACLE:
         cw, llr = _wire_llr(code, sigma, i)
-        cws, _ = dec(jnp.asarray(llr))
-        hit = bool((np.asarray(cws) == cw).all(axis=1).any())
-        assert hit == expect, (sigma, i)
+        for dec in (dec_x, dec_f):      # fast agrees on these frames
+            cws, _ = dec(jnp.asarray(llr))
+            hit = bool((np.asarray(cws) == cw).all(axis=1).any())
+            assert hit == expect, (sigma, i)
     # the one sweep frame fast mode loses; exact mode recovers it
-    dec_x = jax.jit(make_decoder(code.frozen, 8, exact=True))
     cw, llr = _wire_llr(code, *WIRE_GAP_FRAME)
     cws, _ = dec_x(jnp.asarray(llr))
     assert bool((np.asarray(cws) == cw).all(axis=1).any())
+    cws, _ = dec_f(jnp.asarray(llr))
+    assert not bool((np.asarray(cws) == cw).all(axis=1).any())
 
 
 def test_batched_vmap(toy_dec):
