@@ -25,7 +25,9 @@ def main():
     from modem_tpu.numerology import make_config
     from modem_tpu.pipeline import decode_recording_auto
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    use_f32 = "--f32" in sys.argv
+    n = int(args[0]) if args else 16
     rate = 8000
     cfg = make_config(rate, 6, 2000)
     rng = np.random.default_rng(3)
@@ -35,14 +37,29 @@ def main():
     waves, _ = enc.encode_batch(payloads, B.base37_encode("TPU0MODEM"))
     gap = rate // 2
     flen = waves.shape[1]
-    x = np.zeros(((flen + gap) * n + gap, 2), dtype=np.float32)
-    for i, w in enumerate(waves):
-        s = gap + i * (flen + gap)
-        x[s: s + flen, 0] = w.real
-        x[s: s + flen, 1] = w.imag
+    if use_f32:
+        x = np.zeros(((flen + gap) * n + gap, 2), dtype=np.float32)
+        for i, w in enumerate(waves):
+            s = gap + i * (flen + gap)
+            x[s: s + flen, 0] = w.real
+            x[s: s + flen, 1] = w.imag
+        channels = 2
+    else:
+        # mono int16 wire format (the reference's acoustic use case):
+        # raw transfer + on-device front-end (modem_tpu/ingest.py)
+        from modem_tpu.ingest import PcmRecording
+        xm = np.zeros((flen + gap) * n + gap, dtype=np.float32)
+        for i, w in enumerate(waves):
+            s = gap + i * (flen + gap)
+            xm[s: s + flen] = w.real
+        q = np.clip(np.rint(xm * 32767.0), -32768, 32767).astype(
+            np.int16)
+        x = PcmRecording(data=q, bits=16, rate=rate)
+        channels = 1
 
     t0 = time.time()
-    frames = decode_recording_auto(x, rate, max_frames=n)
+    frames = decode_recording_auto(x, rate, channels=channels,
+                                   max_frames=n)
     print(f"# first pass (compiles): {time.time() - t0:.1f} s",
           file=sys.stderr, flush=True)
     ok = sum(f["ok"] for f in frames)
@@ -51,7 +68,8 @@ def main():
         len(frames), ok, exact)
 
     t0 = time.time()
-    frames = decode_recording_auto(x, rate, max_frames=n)
+    frames = decode_recording_auto(x, rate, channels=channels,
+                                   max_frames=n)
     dt = time.time() - t0
     fps = n / dt
     xrt = fps * cfg.frame_samples / rate

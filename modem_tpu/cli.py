@@ -124,11 +124,10 @@ def cmd_decode(argv: list[str]) -> int:
     res = dec.decode(samples, channels=data.channels, skip=skip,
                      log=sys.stderr)
     if not res.ok:
-        # only statuses the decoder transcript does NOT already emit
-        # in its candidate loop (emit(status), decoder.py) — listing
-        # an in-loop status here would print it twice
-        if res.status in ("no preamble found",
-                          "ran out of frames while skipping"):
+        # the decoder transcript already emitted most statuses in its
+        # candidate loop; print only what it did not (the flag travels
+        # WITH the status, so new decoder statuses stay covered)
+        if not res.status_emitted:
             print(res.status, file=sys.stderr)
         return 1
     if output_name == "-":
@@ -155,21 +154,36 @@ def cmd_decode_all(argv: list[str]) -> int:
     prefix, input_name = argv
     if input_name == "-":
         input_name = "/dev/stdin"
-    data = wav.read_wav(input_name)
-    if data.channels < 1 or data.channels > 2:
-        print("Only real or analytic signal (one or two channels) "
-              "supported.", file=sys.stderr)
-        return 1
     from .pipeline import decode_recording_auto
-    samples = (data.samples[:, 0] if data.channels == 1
-               else data.samples[:, :2])
-    frames = decode_recording_auto(samples, data.rate,
-                                   channels=data.channels)
+    # fast ingest: int16/uint8 WAV stays in wire dtype through the
+    # tunnel with the front-end on device (ingest.py); pipes and
+    # other formats fall back to the host float reader
+    pcm = wav.read_wav_raw(input_name)
+    if pcm is not None:
+        frames = decode_recording_auto(pcm, pcm.rate,
+                                       channels=pcm.channels)
+    else:
+        data = wav.read_wav(input_name)
+        if data.channels < 1 or data.channels > 2:
+            print("Only real or analytic signal (one or two channels) "
+                  "supported.", file=sys.stderr)
+            return 1
+        samples = (data.samples[:, 0] if data.channels == 1
+                   else data.samples[:, :2])
+        frames = decode_recording_auto(samples, data.rate,
+                                       channels=data.channels)
     if not frames:
         print("no frames found", file=sys.stderr)
         return 1
     bad = 0
     for i, f in enumerate(frames):
+        if f["mode"] is None:
+            # preamble whose header was rejected — report WHY (the
+            # reference's per-attempt stderr text, decode.cc:417-446)
+            print(f"frame {i}: pos {f['pos']} header rejected: "
+                  f"{f['status']}", file=sys.stderr)
+            bad += 1
+            continue
         print(f"frame {i}: pos {f['pos']} mode {f['mode']} "
               f"call sign {f['call_sign']} "
               f"{'ok' if f['ok'] else 'FAILED'} flips {f['flips']}",

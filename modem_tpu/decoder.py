@@ -50,6 +50,10 @@ class DecodeResult:
     snr_db: Optional[np.ndarray] = None
     bit_flips: int = -1
     status: str = ""
+    # True when the final ``status`` text was already written to the
+    # transcript log — callers (cli.py) print unemitted statuses
+    # instead of keeping a duplicate status-string list in sync
+    status_emitted: bool = False
 
 
 def _rx_config(rate: int, oper_mode: int) -> ModemConfig:
@@ -61,7 +65,8 @@ class Decoder:
     """Per-rate decoder; payload pipelines jit-specialise per mode."""
 
     def __init__(self, rate: int, list_size: int = 8,
-                 device_scl="auto", scl_exact: bool = True):
+                 device_scl="auto", scl_exact: bool = True,
+                 estimator: str | None = None):
         # mode choice does not affect the front-end/sync/header stages
         from .numerology import SUPPORTED_RATES
         if rate not in SUPPORTED_RATES:
@@ -84,6 +89,9 @@ class Decoder:
         if device_scl == "auto":
             device_scl = True
         self.device_scl = device_scl
+        # Theil-Sen variant, captured at construction and passed at
+        # trace time (a module-global flip after jit had no effect)
+        self.estimator = estimator
         self._device_scl_cache: dict[int, object] = {}
         self._payload_cache: dict[int, object] = {}
         self.sync = sync.Synchronizer(self.cfg)
@@ -174,42 +182,59 @@ class Decoder:
             self._payload_cache[("headers", batch)] = fn
         return fn
 
-    def decode_headers_batch(self, x: np.ndarray, cands):
+    def decode_headers_batch(self, x, cands):
         """Demod + OSD + CRC16 for ALL sync candidates in one jitted
         call (the auto-mode serving path's header stage; the
         interactive decoder keeps the per-candidate retry loop).
 
-        Returns a list aligned with ``cands``: (oper_mode, call) or
-        None per candidate.  The batch pads to the next power of two
-        so jit shapes are reused across recordings.
+        ``x``: analytic [T, 2] f32 or an ingest.PcmRecording (header
+        windows then cross the tunnel in wire dtype and convert on
+        device).  Returns a list aligned with ``cands``: (header,
+        status) pairs where header is (oper_mode, call) or None and
+        status carries the reference's rejection text ("OSD error." /
+        "header CRC error." / ... — decode.cc:417-446) so auto-mode
+        callers can report WHY a preamble was rejected.  The batch
+        pads to the next power of two so jit shapes are reused across
+        recordings.
         """
+        from . import ingest
         cfg = self.cfg
         s, g = cfg.symbol_len, cfg.guard_len
         nc = len(cands)
         if nc == 0:
             return []
         pad = 1 << max(0, (nc - 1).bit_length())
-        wins = np.zeros((pad, s, 2), dtype=np.float32)
+        pcm = x if isinstance(x, ingest.PcmRecording) else None
+        t_all = pcm.n_samples if pcm is not None else len(x)
         cfos = np.zeros(pad, dtype=np.float32)
         in_range = [False] * nc
+        starts = [0] * pad
         for i, c in enumerate(cands):
             lo = c.p0 + s + g
-            if lo < 0 or lo + s > len(x):
+            if lo < 0 or lo + s > t_all:
                 continue
             in_range[i] = True
-            wins[i] = x[lo: lo + s]
+            starts[i] = lo
             cfos[i] = c.cfo_rad
+        if pcm is not None:
+            wins = self.sync._pcm_windows(pcm, starts, s)
+        else:
+            wins = np.zeros((pad, s, 2), dtype=np.float32)
+            for i in range(nc):
+                if in_range[i]:
+                    wins[i] = x[starts[i]: starts[i] + s]
         data, unique = self._headers_batch_jit(pad)(
             jnp.asarray(wins), jnp.asarray(cfos))
         data = np.asarray(data)
         unique = np.asarray(unique)
         out = []
         for i in range(nc):
-            if not in_range[i] or not unique[i]:
-                out.append(None)
-                continue
-            hdr, _status = self._validate_header(data[i])
-            out.append(hdr)
+            if not in_range[i]:
+                out.append((None, "past recording end"))
+            elif not unique[i]:
+                out.append((None, "OSD error."))   # decode.cc:417-418
+            else:
+                out.append(self._validate_header(data[i]))
         return out
 
     # ------------------------------------------------------------------
@@ -244,8 +269,8 @@ class Decoder:
             spec = fft.fwd(mixed)
             carriers = spec[:, jnp.asarray(bins)]      # [rows+1, cols, 2]
             cons = ofdm.demod_or_erase(carriers[1:], carriers[:-1])
-            cons, slope, yint = track.derotate_rows(cons, code_off,
-                                                    mode.mod_bits)
+            cons, slope, yint = track.derotate_rows(
+                cons, code_off, mode.mod_bits, self.estimator)
             llrs, snr = track.soft_llrs(cons, mode.mod_bits)
             return llrs.reshape(-1), snr, slope, yint
 
@@ -297,18 +322,24 @@ class Decoder:
             if B.crc32.update_bits(0, info[k_]) == 0:
                 best = k_
                 break
+        sfo_ppm = float(-slope * s / (s + g) / (2 * np.pi) * 1e6)
+        cfo_fine = cand.cfo_rad + float(yint) / (s + g)
+        stats = dict(payload=None, flips=None, snr=np.asarray(snr),
+                     sfo_ppm=sfo_ppm,
+                     cfo_hz=cfo_fine * self.rate / (2 * np.pi))
         if best < 0:
-            return None
+            # the reference prints sfo/cfo/Es-N0 BEFORE the polar
+            # decode (decode.cc:502-523), so a CRC-less list still
+            # reports its demod statistics ahead of `payload decoding
+            # error.` (decode.cc:543) — payload=None marks the failure
+            return stats
         mesg = info[best]
         # bit flips vs received hard decisions (decode.cc:546-555)
         received = full[code.info_idx[: mode.data_bits]] < 0
-        flips = int(np.sum(received != mesg[: mode.data_bits]))
-        payload = B.bits_to_bytes_le(mesg[: mode.data_bits])
-        sfo_ppm = float(-slope * s / (s + g) / (2 * np.pi) * 1e6)
-        cfo_fine = cand.cfo_rad + float(yint) / (s + g)
-        return dict(payload=B.scramble(payload), flips=flips,
-                    snr=np.asarray(snr), sfo_ppm=sfo_ppm,
-                    cfo_hz=cfo_fine * self.rate / (2 * np.pi))
+        stats["flips"] = int(np.sum(received != mesg[: mode.data_bits]))
+        stats["payload"] = B.scramble(
+            B.bits_to_bytes_le(mesg[: mode.data_bits]))
+        return stats
 
     # ------------------------------------------------------------------
     # public API (decode.cc:559-620 semantics)
@@ -348,10 +379,15 @@ class Decoder:
             result.status = status
             if hdr is None:
                 emit(status)
+                # in-loop header statuses ARE the transcript when a
+                # log is given; the flag holds for whichever ends up
+                # terminal
+                result.status_emitted = log is not None
                 continue
             if skip > 0:
                 skip -= 1
                 result.status = "ran out of frames while skipping"
+                result.status_emitted = False
                 continue
             oper_mode, call = hdr
             result.oper_mode = oper_mode
@@ -361,14 +397,22 @@ class Decoder:
             rows = MODES[oper_mode].cons_rows
             pay = self._decode_payload(x, cand, oper_mode)
             emit("demod " + "." * rows + " done")
-            if pay is None:
+            if pay is not None:
+                # the reference prints these ahead of the decode
+                # outcome (decode.cc:502-523 before :543)
+                emit(f"coarse sfo: {pay['sfo_ppm']:.6g} ppm")
+                emit(f"finer cfo: {pay['cfo_hz']:.6g} Hz ")
+                emit("Es/N0 (dB): "
+                     + " ".join(f"{v:.6g}" for v in pay["snr"]))
+            if pay is None or pay["payload"] is None:
                 result.status = "payload decoding error."
                 emit(result.status)
+                result.status_emitted = log is not None
+                if pay is not None:
+                    result.snr_db = pay["snr"]
+                    result.sfo_ppm = pay["sfo_ppm"]
+                    result.cfo_hz = pay["cfo_hz"]
                 return result
-            emit(f"coarse sfo: {pay['sfo_ppm']:.6g} ppm")
-            emit(f"finer cfo: {pay['cfo_hz']:.6g} Hz ")
-            emit("Es/N0 (dB): "
-                 + " ".join(f"{v:.6g}" for v in pay["snr"]))
             emit(f"bit flips: {pay['flips']}")
             result.ok = True
             result.payload = pay["payload"]

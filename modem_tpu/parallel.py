@@ -95,7 +95,6 @@ def sharded_sync(cfg: ModemConfig, mesh: Mesh):
     return sync
 
 
-_SHARDED_CACHE: dict = {}
 
 
 def sharded_decode_recording(pipe: BatchPipeline, mesh: Mesh, x,
@@ -112,14 +111,16 @@ def sharded_decode_recording(pipe: BatchPipeline, mesh: Mesh, x,
     stay on the single-device path.  Candidate positions and payload
     bytes are exactly those of the single-device
     `BatchPipeline.decode_recording` (test_pipeline.py).  The jitted
-    shard_map and the mesh-attached Synchronizer cache per
-    (pipeline, mesh, per_chip) so repeated recordings re-trace
-    nothing."""
-    key = (id(pipe), id(mesh))
-    sync = _SHARDED_CACHE.get(("sync",) + key)
+    shard_map and the mesh-attached Synchronizer cache ON the pipeline
+    object keyed by the MESH VALUE (Mesh hashes by devices+axis
+    names), so repeated recordings re-trace nothing, the cache dies
+    with the pipeline, and a recycled object address can never pick
+    up a stale entry (id()-keyed module caches could)."""
+    cache = pipe.__dict__.setdefault("_sharded_cache", {})
+    sync = cache.get(("sync", mesh))
     if sync is None:
         sync = sharded_sync(pipe.sync.cfg, mesh)
-        _SHARDED_CACHE[("sync",) + key] = sync
+        cache[("sync", mesh)] = sync
     cands = [c for c in sync.scan(x, max_candidates=max_frames)
              if c.ok]
     wins, pos = pipe.windows_at(x, [c.p0 for c in cands])
@@ -132,10 +133,10 @@ def sharded_decode_recording(pipe: BatchPipeline, mesh: Mesh, x,
         wins = np.concatenate(
             [wins, np.zeros((pad,) + wins.shape[1:], np.float32)])
     per_chip = len(wins) // nd
-    fn = _SHARDED_CACHE.get(("fn",) + key + (per_chip,))
+    fn = cache.get(("fn", mesh, per_chip))
     if fn is None:
         fn = sharded_decode_batched(pipe, mesh, per_chip)
-        _SHARDED_CACHE[("fn",) + key + (per_chip,)] = fn
+        cache[("fn", mesh, per_chip)] = fn
     res = fn(wins)
     res = {k: np.asarray(v)[:n] for k, v in res.items()}
     return res, pos

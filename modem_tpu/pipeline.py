@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import bits as B
-from . import cplx, fft, ofdm, sync, track
+from . import cplx, fft, ingest, ofdm, sync, track
 from .fec.polar import PolarCode
 from .fec.scl_vm import make_batch_decoder, make_decoder
 from .numerology import MODES, ModemConfig
@@ -35,7 +35,7 @@ class BatchPipeline:
     def __init__(self, rate: int, oper_mode: int, list_size: int = 8,
                  mode_spec=None, symbol_len_override=None,
                  scl_backend: str = "auto", frames_per_cell: int = 0,
-                 scl_exact: bool = True):
+                 scl_exact: bool = True, estimator: str | None = None):
         """scl_backend: 'pallas' (VMEM-resident kernel, TPU only),
         'xla' (lax.scan VM), or 'auto' (pallas on TPU, xla elsewhere).
 
@@ -59,6 +59,8 @@ class BatchPipeline:
                               order=mode.code_order)
         self.sync = sync.Synchronizer(cfg)
         self.scl_exact = scl_exact
+        # Theil-Sen variant, captured at construction (trace time)
+        self.estimator = estimator
         self.scl = make_decoder(self.code.frozen, list_size,
                                 exact=scl_exact)
         self.crc_mat = np.asarray(
@@ -190,8 +192,8 @@ class BatchPipeline:
         spec = fft.fwd(cplx.cmul(windows, cplx.expi(phase)))
         carriers = spec[:, jnp.asarray(bins)]
         cons = ofdm.demod_or_erase(carriers[1:], carriers[:-1])
-        cons, slope, yint = track.derotate_rows(cons, code_off,
-                                                mode.mod_bits)
+        cons, slope, yint = track.derotate_rows(
+            cons, code_off, mode.mod_bits, self.estimator)
         llrs, snr = track.soft_llrs(cons, mode.mod_bits)
         full = self.code.lengthen(llrs.reshape(-1))
         return dict(llrs=full, p0=p0, cfo_rad=cfo, snr=snr,
@@ -263,6 +265,12 @@ class BatchPipeline:
     def frame_windows(self, x, max_frames: int = 64):
         """Scan a recording and slice one window per detected frame.
 
+        ``x`` may be an ingest.PcmRecording: the scan chunks and the
+        frame windows then cross the tunnel in wire dtype and the
+        dequantise (+ mono DC-block/Hilbert) front-end runs on device
+        (sync.scan / sync._pcm_windows), never materialising the f32
+        analytic recording on the host.
+
         Each window spans [p0 - (2s+g), p0 + frame_samples - g) —
         through its last payload sample and stopping before the NEXT
         frame's preamble, so the batch path's global timing argmax sees
@@ -273,30 +281,38 @@ class BatchPipeline:
         = 161 at 8 kHz; the wire loopbacks passed inside that hair,
         the toy config did not).  Returns (windows [n, w, 2],
         positions)."""
-        if np.iscomplexobj(x):
-            x = cplx.from_np(x)
-        x = np.asarray(x, dtype=np.float32)
+        if not isinstance(x, ingest.PcmRecording):
+            if np.iscomplexobj(x):
+                x = cplx.from_np(x)
+            x = np.asarray(x, dtype=np.float32)
         cands = [c for c in self.sync.scan(x, max_candidates=max_frames)
                  if c.ok]
         return self.windows_at(x, [c.p0 for c in cands])
 
     def windows_at(self, x, positions):
         """Slice one frame window per preamble position (see
-        frame_windows for the geometry)."""
-        if np.iscomplexobj(x):
-            x = cplx.from_np(x)
-        x = np.asarray(x, dtype=np.float32)
+        frame_windows for the geometry).  PcmRecording input returns
+        device-resident analytic windows (raw slices cross the tunnel
+        in wire dtype; front-end on device)."""
         cfg = self.cfg
         s, g = cfg.symbol_len, cfg.guard_len
         w = cfg.frame_samples + 2 * s
+        pos = np.asarray([int(p) for p in positions], dtype=np.int64)
+        if isinstance(x, ingest.PcmRecording):
+            if not len(pos):
+                return np.zeros((0, w, 2), np.float32), pos
+            wins = self.sync._pcm_windows(
+                x, [int(p) - (2 * s + g) for p in positions], w)
+            return wins, pos
+        if np.iscomplexobj(x):
+            x = cplx.from_np(x)
+        x = np.asarray(x, dtype=np.float32)
         wins = np.zeros((len(positions), w, 2), dtype=np.float32)
-        pos = np.zeros(len(positions), dtype=np.int64)
         for i, p0 in enumerate(positions):
             lo = int(p0) - (2 * s + g)
             seg = x[max(lo, 0): max(lo + w, 0)]
             off = max(0, -lo)       # recording-start left pad
             wins[i, off: off + len(seg)] = seg
-            pos[i] = p0
         return wins, pos
 
     def decode_windows(self, wins):
@@ -308,8 +324,12 @@ class BatchPipeline:
             1 << max(0, (n - 1).bit_length())
         pad = target - n
         if pad:
-            wins = np.concatenate([wins, np.zeros(
-                (pad,) + wins.shape[1:], dtype=np.float32)])
+            cat = np.concatenate if isinstance(wins, np.ndarray) \
+                else jnp.concatenate
+            z = (np.zeros if isinstance(wins, np.ndarray)
+                 else jnp.zeros)((pad,) + wins.shape[1:],
+                                 dtype=np.float32)
+            wins = cat([wins, z])
         res = self.decode_batch(wins)
         if pad:
             res = {k: v[:n] for k, v in res.items()}
@@ -350,20 +370,25 @@ def decode_recording_auto(x, rate: int, channels: int = 2,
     header (decode.cc:398-446), frames group by mode, and each group
     batch-decodes in ONE jitted call.
 
-    x: complex [T], [T, 2] split-complex, or real mono when
-    channels == 1.  Returns a time-ordered list of per-frame dicts:
+    x: complex [T], [T, 2] split-complex, real mono when
+    channels == 1, or an ingest.PcmRecording (wire-dtype transfer +
+    on-device front-end; the fastest ingest for WAV input).  Returns a
+    time-ordered list of per-frame dicts:
     {pos, mode, call_sign, ok, payload, flips, snr}.
     """
     from .decoder import cached_decoder
     dec = cached_decoder(rate)
-    if channels == 1 and not np.iscomplexobj(x):
+    if isinstance(x, ingest.PcmRecording):
+        pass                      # scan/header/window stages take PCM
+    elif channels == 1 and not np.iscomplexobj(x):
         import jax.numpy as _jnp
         x = np.asarray(dec._frontend_jit(
             _jnp.asarray(np.asarray(x, dtype=np.float32))))
-    elif np.iscomplexobj(x):
-        from . import cplx as _cplx
-        x = _cplx.from_np(x)
-    x = np.asarray(x, dtype=np.float32)
+        x = np.asarray(x, dtype=np.float32)
+    else:
+        if np.iscomplexobj(x):
+            x = cplx.from_np(x)
+        x = np.asarray(x, dtype=np.float32)
 
     # Header stage: ONE jitted demod+OSD batch over every detected
     # preamble (decode.cc:398-446; was a per-frame host loop, VERDICT
@@ -371,8 +396,13 @@ def decode_recording_auto(x, rate: int, channels: int = 2,
     cands = [c for c in dec.sync.scan(x, max_candidates=max_frames)
              if c.ok]
     frames = []          # (pos, mode, call)
-    for c, hdr in zip(cands, dec.decode_headers_batch(x, cands)):
+    rejects = []         # preambles whose header failed, with WHY
+    for c, (hdr, status) in zip(cands,
+                                dec.decode_headers_batch(x, cands)):
         if hdr is None:
+            rejects.append(dict(
+                pos=int(c.p0), mode=None, call_sign="", ok=False,
+                payload=b"", flips=None, snr=None, status=status))
             continue
         oper_mode, call = hdr
         frames.append((c.p0, oper_mode, B.base37_decode(call).lstrip()))
@@ -394,10 +424,13 @@ def decode_recording_auto(x, rate: int, channels: int = 2,
             results[i] = (pipe, res, j)
     for i, (p0, m, call) in enumerate(frames):
         pipe, res, j = results[i]
+        ok = bool(np.asarray(res["ok"])[j])
         out.append(dict(
-            pos=int(p0), mode=m, call_sign=call,
-            ok=bool(np.asarray(res["ok"])[j]),
+            pos=int(p0), mode=m, call_sign=call, ok=ok,
             payload=pipe.payload_bytes(res, j),
             flips=int(np.asarray(res["flips"])[j]),
-            snr=np.asarray(res["snr"][j])))
+            snr=np.asarray(res["snr"][j]),
+            status="ok" if ok else "payload decoding error."))
+    out.extend(rejects)
+    out.sort(key=lambda f: f["pos"])
     return out

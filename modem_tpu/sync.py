@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import bits as B
-from . import cplx, fft, ofdm
+from . import cplx, fft, ingest, ofdm
 from .numerology import ModemConfig
 
 
@@ -181,10 +181,17 @@ class Synchronizer:
         seq[bins] = mls0
         self.kern = cplx.from_np(np.conj(np.fft.fft(seq)) / L)
 
+        # mono front-end geometry for device-side PCM ingest
+        # (decode.cc:294-301: dequantise + BlockDC + Hilbert)
+        self.dc_window = 2 * cfg.extended_len
+        self.taps = cfg.filter_len
+        self.front_lead = ingest.front_lead(self.dc_window, self.taps)
+
         self._metrics_jit = jax.jit(self._metrics)
         self._fine_jit = jax.jit(jax.vmap(self._fine_stage))
         self._chunk_fns: dict[tuple, object] = {}
         self._extract_fns: dict[tuple, object] = {}
+        self._pcm_win_fns: dict[tuple, object] = {}
         # optional jax.sharding.Mesh: shards the chunk axis of the
         # batched scan across devices (parallel.sharded_sync)
         self.mesh = None
@@ -325,7 +332,8 @@ class Synchronizer:
     # with the same associative operators (a two-level Blelloch scan).
     MAX_CHUNKS_PER_CALL = 16
 
-    def _extract_batch_fn(self, c: int, ctx: int, k: int, m: int):
+    def _extract_batch_fn(self, c: int, ctx: int, k: int, m: int,
+                          front=None):
         """Jitted m-chunk metrics + Schmitt + segmented-argmax pass.
 
         Returns only the first ``k`` falling edges of each chunk with
@@ -334,13 +342,29 @@ class Synchronizer:
         arrays (the TPU-native replacement for the reference's
         per-sample host tracker, decode.cc:84-152; the argmax-with-
         reset peak tracker decode.cc:95-101 is a segmented scan).
+
+        ``front``: None for f32 split-complex chunks, or
+        ("mono"|"stereo", bits) for raw PCM chunks — dequantisation
+        (and for mono the DC-block + Hilbert front-end, fed by
+        ``front_lead`` extra raw context samples) runs on device
+        inside this same graph (ingest.py; decode.cc:294-301).
         """
-        key = (c, ctx, k, m)
+        key = (c, ctx, k, m, front)
         fn = self._extract_fns.get(key)
         if fn is None:
             md = self.match_del
+            fl = self.front_lead if front and front[0] == "mono" else 0
 
             def chunk_metrics(seg, n0):
+                if front is not None:
+                    kind, bits = front
+                    if kind == "mono":
+                        seg = ingest.analytic_chunk(
+                            seg, n0 - ctx - fl, fl,
+                            ctx + c + 2 * self.L, bits,
+                            self.dc_window, self.taps)
+                    else:
+                        seg = ingest.dequant_dev(seg, bits)
                 # chunk 0's left context is recording-start zero pad:
                 # mask its product terms (see _metrics docstring)
                 t, p = self._metrics(
@@ -421,7 +445,7 @@ class Synchronizer:
         return fn
 
     def _events_device(self, x: np.ndarray, chunk_samples: int,
-                       max_edges: int):
+                       max_edges: int, front=None):
         """(edge, n_max, phase[n_max - match_del]) for the first
         ``max_edges`` falling edges, computed in super-batches of
         MAX_CHUNKS_PER_CALL chunks per jit call, O(chunks_per_call)
@@ -430,7 +454,12 @@ class Synchronizer:
         running argmax composed across all chunk boundaries.  Caveat
         vs the host path: at most ``max_edges`` edges are taken per
         chunk (more is pathological noise; the host path's global cap
-        would have exhausted its margin anyway)."""
+        would have exhausted its margin anyway).
+
+        ``front``: raw-PCM mode (see _extract_batch_fn) — ``x`` is
+        then the quantised [T] mono / [T, 2] stereo wire array and
+        chunks cross the tunnel in wire dtype.
+        """
         t_all = x.shape[0]
         n_out = t_all - 2 * self.L
         if n_out <= 0:
@@ -438,7 +467,9 @@ class Synchronizer:
         ctx = -(-(2 * self.L + self.match_len) // _BLK) * _BLK
         # chunks must cover their own left context (see metrics_host)
         c = max(-(-int(chunk_samples) // _BLK) * _BLK, ctx)
-        want = ctx + c + 2 * self.L
+        mono = front is not None and front[0] == "mono"
+        fl = self.front_lead if mono else 0
+        want = fl + ctx + c + 2 * self.L
         n_chunks = -(-n_out // c)
         st = jnp.asarray(False)
         mx = (jnp.float32(-np.inf), jnp.int32(0), jnp.float32(0.0))
@@ -459,8 +490,14 @@ class Synchronizer:
             if self.mesh is not None:   # chunk axis divides the mesh
                 nd = self.mesh.devices.size
                 m = max(nd, -(-m // nd) * nd)
-            fn = self._extract_batch_fn(c, ctx, max_edges, m)
-            segs = np.zeros((m, want, 2), np.float32)
+            fn = self._extract_batch_fn(c, ctx, max_edges, m, front)
+            if front is None:
+                segs = np.zeros((m, want, 2), np.float32)
+            else:
+                # quantised silence level: 0 for int16, 128 for uint8
+                fill = 128 if front[1] == 8 else 0
+                shape = (m, want) if mono else (m, want, 2)
+                segs = np.full(shape, fill, x.dtype)
             # pad chunks carry the n_out sentinel: their edges (global
             # position >= n_out) are filtered below, and they can only
             # appear in the final super-batch, so the carries they
@@ -468,7 +505,7 @@ class Synchronizer:
             n0s = np.full(m, n_out, np.int32)
             for j in range(min(m, rem)):
                 n0 = (g0 + j) * c
-                lo = n0 - ctx
+                lo = n0 - ctx - fl
                 seg = x[max(lo, 0): n0 + c + 2 * self.L]
                 off = max(0, -lo)            # left zero-pad of chunk 0
                 segs[j, off: off + seg.shape[0]] = seg
@@ -492,9 +529,15 @@ class Synchronizer:
         return events[:max_edges]
 
     # -- public API --------------------------------------------------------
-    def scan(self, x: np.ndarray, max_candidates: int = 8,
+    def scan(self, x, max_candidates: int = 8,
              chunk_samples=None, host: bool = False):
-        """Find S&C preambles in a recording (complex np or [T,2] array).
+        """Find S&C preambles in a recording.
+
+        ``x``: complex np, split-complex [T, 2] f32, or an
+        ingest.PcmRecording — raw PCM crosses the tunnel in wire dtype
+        and dequantises (mono: + DC-block + Hilbert, decode.cc:294-301)
+        ON DEVICE inside the chunk graphs (2-4 bytes/sample instead of
+        8; the tunnel is the serving bottleneck, docs/PERFORMANCE.md).
 
         Returns SyncCandidates in time order with the reference's gates
         applied (peak > 4*next, |pos_err| <= guard/2; decode.cc:140-145).
@@ -507,13 +550,23 @@ class Synchronizer:
         recompiles per length: >6 min for a 1.3M-sample graph on the
         remote compiler).  ``host=True`` forces the reference host-
         numpy edge walk over metrics_host (the spec the device path is
-        tested against).
+        tested against; for PCM input the spec front-end is
+        ingest.PcmRecording.analytic_np).  Divergence caveat vs the
+        host path: the device extraction keeps at most
+        4*max_candidates falling edges PER CHUNK (the host cap is
+        global), so pathologically dense spurious edges inside one
+        chunk can differ — see _events_device.
         """
         cfg = self.cfg
         L = self.L
-        if np.iscomplexobj(x):
-            x = cplx.from_np(x)
-        x = np.asarray(x, dtype=np.float32)
+        pcm = x if isinstance(x, ingest.PcmRecording) else None
+        if pcm is not None and host:   # host spec front-end (numpy)
+            x = pcm.analytic_np(self.dc_window, self.taps)
+            pcm = None
+        if pcm is None:
+            if np.iscomplexobj(x):
+                x = cplx.from_np(x)
+            x = np.asarray(x, dtype=np.float32)
         # examine a 4x margin of raw edges: spurious noise edges must
         # not consume candidate slots ahead of real, later frames
         max_edges = 4 * max_candidates
@@ -525,7 +578,13 @@ class Synchronizer:
             # graphs (16 x 2^20) OOM-killed the remote compile helper
             if chunk_samples is None:
                 chunk_samples = self.CHUNK_SMALL
-            raw = self._events_device(x, chunk_samples, max_edges)
+            if pcm is not None:
+                front = ("mono" if pcm.channels == 1 else "stereo",
+                         pcm.bits)
+                raw = self._events_device(pcm.data, chunk_samples,
+                                          max_edges, front)
+            else:
+                raw = self._events_device(x, chunk_samples, max_edges)
         else:
             timing, phase, state, falling = self.metrics_host(x)
             raw = []
@@ -546,11 +605,15 @@ class Synchronizer:
         if not events:
             return []
 
-        wins = np.stack([self._window(x, p) for p, _ in events])
+        if pcm is not None:
+            wins = self._pcm_windows(pcm, [p + L for p, _ in events], L)
+        else:
+            wins = jnp.asarray(
+                np.stack([self._window(x, p) for p, _ in events]))
         fcs = np.array([fc for _, fc in events], dtype=np.float32)
         shift, pos_err, peak, nxt, _ = (
             np.asarray(v)
-            for v in self._fine_jit(jnp.asarray(wins), jnp.asarray(fcs)))
+            for v in self._fine_jit(wins, jnp.asarray(fcs)))
 
         out = []
         for i, (p0, fc) in enumerate(events):
@@ -565,6 +628,48 @@ class Synchronizer:
             if sum(c.ok for c in out) >= max_candidates:
                 break
         return out
+
+    def _pcm_windows(self, pcm, starts, out_len: int):
+        """Slice raw PCM windows on the host and convert them to
+        analytic [n, out_len, 2] ON DEVICE in one jitted call (padded
+        to the next power of two so graph shapes stay bounded).
+        Window ``i`` covers absolute samples [starts[i],
+        starts[i] + out_len); mono windows carry ``front_lead`` raw
+        context samples for the DC-block + Hilbert front-end.  Chunk
+        starts here are NOT 512-aligned, so DC sums regroup at f32
+        reassociation tolerance vs the whole-recording front-end —
+        harmless below channel noise (the scan metrics path, which IS
+        parity-tested, keeps alignment)."""
+        kind = "mono" if pcm.channels == 1 else "stereo"
+        fl = self.front_lead if kind == "mono" else 0
+        n = len(starts)
+        npad = 1 << max(0, (n - 1).bit_length())
+        fill = 128 if pcm.bits == 8 else 0
+        want = fl + out_len
+        shape = (npad, want) if kind == "mono" else (npad, want, 2)
+        raws = np.full(shape, fill, pcm.data.dtype)
+        abs0s = np.zeros(npad, np.int32)
+        for i, s0 in enumerate(starts):
+            lo = int(s0) - fl
+            seg = pcm.data[max(lo, 0): max(lo + want, 0)]
+            off = max(0, -lo)
+            raws[i, off: off + len(seg)] = seg
+            abs0s[i] = lo
+        key = (kind, pcm.bits, out_len, npad)
+        fn = self._pcm_win_fns.get(key)
+        if fn is None:
+            if kind == "mono":
+                def conv(r, a):
+                    return jax.vmap(
+                        lambda rr, aa: ingest.analytic_chunk(
+                            rr, aa, fl, out_len, pcm.bits,
+                            self.dc_window, self.taps))(r, a)
+            else:
+                def conv(r, a):
+                    return ingest.dequant_dev(r, pcm.bits)
+            fn = jax.jit(conv)
+            self._pcm_win_fns[key] = fn
+        return fn(jnp.asarray(raws), jnp.asarray(abs0s))[:n]
 
     def _window(self, x: np.ndarray, p0: int) -> np.ndarray:
         L = self.L

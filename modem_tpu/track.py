@@ -72,11 +72,16 @@ def theil_sen_all_pairs(x, y):
     return slope, yint
 
 
-def derotate_rows(cons, code_off: int, mod_bits: int):
+def derotate_rows(cons, code_off: int, mod_bits: int,
+                  estimator: str | None = None):
     """Per-row Theil-Sen phase regression and derotation
     (decode.cc:479-504).
 
     cons: [rows, cols, 2] differential constellation points.
+    ``estimator``: "disjoint" | "all_pairs"; None uses the module
+    default ESTIMATOR.  Pipelines thread their constructor's choice
+    through here at TRACE time — flipping the module global after a
+    pipeline has jitted its payload graph has no effect on it.
     Returns (derotated cons, avg_slope, avg_yint).
     """
     rows, cols, _ = cons.shape
@@ -89,7 +94,8 @@ def derotate_rows(cons, code_off: int, mod_bits: int):
         cons[..., 1] * ref[..., 0] - cons[..., 0] * ref[..., 1],
         cons[..., 0] * ref[..., 0] + cons[..., 1] * ref[..., 1])
 
-    est = theil_sen_all_pairs if ESTIMATOR == "all_pairs" else theil_sen
+    choice = ESTIMATOR if estimator is None else estimator
+    est = theil_sen_all_pairs if choice == "all_pairs" else theil_sen
 
     def fit(row_err):
         return est(x, row_err)

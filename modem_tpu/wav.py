@@ -88,6 +88,51 @@ def write_wav(path: str, samples: np.ndarray, rate: int, bits: int = 16,
         f.write(payload)
 
 
+def read_wav_raw(path: str):
+    """Read a PCM WAV keeping samples in WIRE dtype (int16/uint8).
+
+    Returns an ingest.PcmRecording so the decode path can transfer
+    the raw samples to device and dequantise there (2-4x less tunnel
+    traffic than f32; ingest.py).  Falls back to None for formats the
+    raw path does not cover (callers then use read_wav)."""
+    import os
+
+    if not os.path.isfile(path):
+        return None
+    from .ingest import PcmRecording
+    with open(path, "rb") as f:
+        blob = f.read()
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(blob):
+        cid = blob[pos:pos + 4]
+        size = struct.unpack("<I", blob[pos + 4:pos + 8])[0]
+        body = blob[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, channels, rate, _, _, bits = fmt
+    if audio_fmt != 1:
+        raise ValueError("only PCM WAV supported")
+    if bits not in (8, 16) or channels not in (1, 2):
+        return None
+    dt = np.dtype("<i2") if bits == 16 else np.uint8
+    flat = np.frombuffer(data, dtype=dt)
+    frames = len(flat) // channels
+    samples = flat[: frames * channels]
+    if channels == 2:
+        samples = samples.reshape(frames, 2)
+    return PcmRecording(data=np.ascontiguousarray(samples), bits=bits,
+                        rate=rate)
+
+
 def read_wav(path: str) -> WavData:
     import os
 

@@ -91,6 +91,34 @@ def test_loopback_8bit_wav(mode6_wave):
     assert res.payload == payload
 
 
+def test_failure_path_transcript(mode6_wave):
+    """On payload decode failure the reference still prints coarse
+    sfo / finer cfo / Es-N0 BEFORE `payload decoding error.`
+    (decode.cc:502-523 vs :543) — pin that stderr ordering."""
+    import io
+
+    cfg, _payload, rec, _ = mode6_wave
+    rec = np.array(rec)
+    # wreck the payload rows only: preamble+metadata+pilot stay clean
+    start = cfg.rate + 4 * cfg.extended_len
+    rng = np.random.default_rng(5)
+    rec[start:] = 0.05 * (
+        rng.standard_normal(len(rec) - start)
+        + 1j * rng.standard_normal(len(rec) - start))
+    log = io.StringIO()
+    res = Decoder(8000).decode(rec, channels=2, log=log)
+    assert not res.ok
+    assert res.status == "payload decoding error."
+    lines = log.getvalue().splitlines()
+    i_err = lines.index("payload decoding error.")
+    head = lines[:i_err]
+    assert any(ln.startswith("coarse sfo: ") for ln in head)
+    assert any(ln.startswith("finer cfo: ") for ln in head)
+    assert any(ln.startswith("Es/N0 (dB):") for ln in head)
+    # demod statistics surface on the result even without a payload
+    assert res.snr_db is not None
+
+
 def test_papr_reported(mode6_wave):
     _, _, _, papr = mode6_wave
     db = 10 * np.log10(papr[papr[:, 0] > 0, 0])

@@ -81,6 +81,34 @@ def test_decode_recording_auto_mixed_modes():
     assert out[1]["pos"] > out[0]["pos"]
 
 
+def test_decode_recording_auto_reports_header_rejects(two_frames):
+    """Auto-mode observability: a preamble whose HEADER is destroyed
+    surfaces as a reject entry with the reference's rejection text
+    (decode.cc:417-446) instead of silently disappearing, while the
+    good frame still decodes."""
+    from modem_tpu.pipeline import decode_recording_auto
+
+    cfg, payloads, rec = two_frames
+    rec = np.array(rec)
+    s, g = cfg.symbol_len, cfg.guard_len
+    pos1 = 8000 + cfg.extended_len + cfg.frame_samples  # 2nd frame p0
+    rng = np.random.default_rng(11)
+    lo = pos1 + s + g                  # metadata (header) symbol
+    rec[lo: lo + s + g] = 0.3 * (
+        rng.standard_normal(s + g) + 1j * rng.standard_normal(s + g))
+    out = decode_recording_auto(rec, 8000)
+    good = [f for f in out if f["mode"] is not None]
+    rejected = [f for f in out if f["mode"] is None]
+    assert len(good) == 1 and good[0]["ok"]
+    assert good[0]["payload"] == payloads[0]
+    assert good[0]["status"] == "ok"
+    assert len(rejected) == 1
+    assert rejected[0]["status"] in ("OSD error.", "header CRC error.",
+                                     "call sign unsupported.") or \
+        rejected[0]["status"].endswith("unsupported.")
+    assert rejected[0]["pos"] > good[0]["pos"]
+
+
 def test_decode_recording_isolates_corrupt_frame(two_frames):
     """A destroyed frame must fail alone: its neighbors still decode
     bit-exact through the batched serving path."""
