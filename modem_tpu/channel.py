@@ -81,7 +81,15 @@ def sfo(x: np.ndarray, ppm: float, taps: int = 32) -> np.ndarray:
 
 
 def awgn(x: np.ndarray, db: float, rng=None) -> np.ndarray:
-    """Add complex Gaussian noise at `db` dB relative to full scale."""
+    """Add complex Gaussian noise at `db` dB relative to full scale.
+
+    Convention note (an ASSUMPTION about the unmounted disorders tool,
+    not a verified spec): `db` is total complex noise power relative
+    to full scale 1.0, split equally between I and Q (the /sqrt(2)).
+    All sweep tables in docs/PERFORMANCE.md state their levels in this
+    convention; absolute dB alignment with the reference demo's `awgn
+    - - -30` cannot be cross-checked in this environment (no network,
+    siblings unmounted) and is flagged in docs/STATUS.md."""
     rng = rng or np.random.default_rng(0)
     sigma = 10.0 ** (db / 20.0)
     noise = sigma * (rng.standard_normal(len(x)) +
@@ -95,8 +103,10 @@ def reference_chain(x: np.ndarray, rate: int, rng=None,
                     spread: int = 10) -> np.ndarray:
     """The README.md:49 impairment chain with its published parameters:
     `multipath - - <taps> 10 | cfo - - 234.567 | sfo - - 147 |
-    awgn - - -30`.  spread=10 matches the demo's x10 delay spread
-    (taps to 600 samples at 8 kHz — well past the 160-sample guard)."""
+    awgn - - -30`.  spread=10 stretches DEFAULT_MULTIPATH's assumed
+    4-tap shape to a 120-sample delay spread at 8 kHz = 75% of the
+    160-sample guard (the spread sweep in docs/PERFORMANCE.md bounds
+    the envelope out to x26 = 1.95x the guard)."""
     y = multipath(x, spread=spread)
     y = cfo(y, cfo_hz, rate)
     y = sfo(y, sfo_ppm)

@@ -68,8 +68,14 @@ class Encoder:
         self.mls1_seq = B.mls_nrz(cfg.mls1_poly, cfg.mls1_len)
         self.mls1_fac = float(np.sqrt(n / cfg.mls1_len))
 
-        self._encode_jit = jax.jit(self._encode_traced,
-                                   static_argnames=("n_frames",))
+        # continuous encode compiles per CHUNK size from a pow2 ladder
+        # (1/2/4/8 frames + a tiny pilot/flush graph), so ANY file
+        # count reuses one bounded set of graphs — the old whole-
+        # transmission graph recompiled per distinct frame count (a
+        # 387 s compile-bomb class at large counts)
+        self._encode_chunk_jit = jax.jit(
+            self._encode_chunk, static_argnames=("n_frames",))
+        self._edge_jit = jax.jit(self._encode_edges)
         # one-frame recordings vmapped over a batch (the serving path)
         self._encode_batch_jit = jax.jit(jax.vmap(
             lambda m, f: self._encode_traced(m[None], f[None], 1)))
@@ -117,7 +123,8 @@ class Encoder:
         # tail stays 0: shortened info bits pinned to bit 0 (+1 NRZ)
         return mesg
 
-    def _encode_traced(self, mesg, meta_fdom, n_frames: int):
+    def _frame_rows(self, mesg, meta_fdom, n_frames: int):
+        """Per-frame symbol spectra [F*frame_symbols, N, 2] (traced)."""
         cfg = self.cfg
         mode = cfg.mode
         n = cfg.symbol_len
@@ -147,21 +154,53 @@ class Encoder:
             meta_fdom[:, None],
             jnp.broadcast_to(pil, (n_frames, 1, n, 2)),
             payload_rows], axis=1)                    # [F, 3+rows, N, 2]
+        return per_frame.reshape(-1, n, 2)
+
+    def _encode_traced(self, mesg, meta_fdom, n_frames: int):
+        """Whole continuous transmission in one graph (the batch path
+        still uses this via vmap at n_frames=1)."""
+        cfg = self.cfg
+        rows = self._frame_rows(mesg, meta_fdom, n_frames)
+        pil = jnp.asarray(cplx.from_np(self.pilot_fdom))
         fdom = jnp.concatenate([
             pil[None],                                # leading pilot
-            per_frame.reshape(-1, n, 2),
-            jnp.zeros((1, n, 2), dtype=jnp.float32)], axis=0)  # flush
-
+            rows,
+            jnp.zeros((1,) + rows.shape[1:], jnp.float32)], axis=0)
         papr_mask = np.ones(fdom.shape[0], dtype=bool)
         papr_mask[1 + np.arange(n_frames) * cfg.frame_symbols] = False  # S&C
         return ofdm.synthesize(fdom, cfg.guard_len, papr_mask)
+
+    def _encode_chunk(self, mesg, meta_fdom, prev_head, n_frames: int):
+        """Frame chunk with explicit crossfade carry (bounded graphs)."""
+        cfg = self.cfg
+        rows = self._frame_rows(mesg, meta_fdom, n_frames)
+        papr_mask = np.ones(rows.shape[0], dtype=bool)
+        papr_mask[np.arange(n_frames) * cfg.frame_symbols] = False  # S&C
+        return ofdm.synthesize_carry(rows, cfg.guard_len, papr_mask,
+                                     prev_head)
+
+    def _encode_edges(self, prev_head):
+        """Leading pilot symbol (stream start) and, given the LAST
+        payload symbol's head, the flush symbol (encode.cc:311-313)."""
+        cfg = self.cfg
+        pil = jnp.asarray(cplx.from_np(self.pilot_fdom))
+        w_p, papr_p, head_p = ofdm.synthesize_carry(
+            pil[None], cfg.guard_len, None, None)
+        flush = jnp.zeros((1, cfg.symbol_len, 2), jnp.float32)
+        w_f, papr_f, _ = ofdm.synthesize_carry(
+            flush, cfg.guard_len, None, prev_head)
+        return w_p, papr_p, head_p, w_f, papr_f
+
+    ENCODE_CHUNK_FRAMES = 8        # pow2 ladder cap: graphs for 1/2/4/8
 
     def encode(self, payloads, call_sign: int, scramble: bool = True):
         """payload blocks -> (complex waveform [T], papr metrics).
 
         ``payloads``: bytes (one frame) or list of bytes.  The returned
         waveform excludes the 1 s silence pads; wav writing adds them
-        (encode.cc:423,441).
+        (encode.cc:423,441).  Frames synthesise in pow2-ladder chunks
+        with the guard-crossfade head carried between chunks, so any
+        frame count reuses ONE bounded set of compiled graphs.
         """
         if isinstance(payloads, (bytes, bytearray)):
             payloads = [bytes(payloads)]
@@ -171,7 +210,31 @@ class Encoder:
         meta = np.broadcast_to(
             cplx.from_np(self.meta_fdom(call_sign)),
             (len(payloads), self.cfg.symbol_len, 2))
-        wave, papr = self._encode_jit(mesg, meta, n_frames=len(payloads))
+        waves, paprs = [], []
+        n = len(payloads)
+        g0 = 0
+        head = None
+        pilot_parts = None
+        while g0 < n:
+            rem = n - g0
+            c = min(self.ENCODE_CHUNK_FRAMES,
+                    1 << (rem.bit_length() - 1))
+            if head is None:
+                # pilot graph also primes the carry for chunk 0
+                w_p, papr_p, head, w_f_unused, _pf = self._edge_jit(
+                    jnp.zeros((self.cfg.guard_len, 2), jnp.float32))
+                pilot_parts = (w_p, papr_p)
+            w, papr, head = self._encode_chunk_jit(
+                jnp.asarray(mesg[g0: g0 + c]),
+                jnp.asarray(meta[g0: g0 + c]), head, n_frames=c)
+            waves.append(w)
+            paprs.append(papr)
+            g0 += c
+        _wp, _pp, _hp, w_f, papr_f = self._edge_jit(head)
+        wave = jnp.concatenate(
+            [pilot_parts[0]] + waves + [w_f], axis=0)
+        papr = jnp.concatenate(
+            [pilot_parts[1]] + paprs + [papr_f], axis=0)
         return cplx.to_np(wave), np.asarray(papr)
 
 

@@ -76,6 +76,20 @@ def synthesize(fdom, guard_len: int, papr_mask=None):
     the raised-cosine crossfade.  The caller appends the all-zero flush
     symbol as the last row (encode.cc:311-313).
     """
+    wave, papr, _head = synthesize_carry(fdom, guard_len, papr_mask)
+    return wave, papr
+
+
+def synthesize_carry(fdom, guard_len: int, papr_mask=None,
+                     prev_head=None):
+    """synthesize() with the cross-symbol crossfade state explicit.
+
+    ``prev_head``: [guard_len, 2] head of the symbol PRECEDING
+    fdom[0] (None = silence, i.e. a stream start).  Returns
+    (wave, papr, last_head) where last_head is fdom[-1]'s symbol head
+    — feed it to the next chunk so a long transmission can synthesise
+    in fixed-size chunks with ONE bounded set of compiled graphs (the
+    guard crossfade is the only cross-symbol dependency)."""
     n_sym, n, _ = fdom.shape
     shaped = improve_papr(fdom)
     if papr_mask is not None:
@@ -88,8 +102,9 @@ def synthesize(fdom, guard_len: int, papr_mask=None):
     w = (0.5 * (1.0 - jnp.cos(jnp.pi * x)))[None, :, None]
     heads = tdom[:, :guard_len]
     tails = tdom[:, n - guard_len:]
-    prev_heads = jnp.concatenate(
-        [jnp.zeros((1, guard_len, 2), tdom.dtype), heads[:-1]], axis=0)
+    first = (jnp.zeros((1, guard_len, 2), tdom.dtype)
+             if prev_head is None else prev_head[None])
+    prev_heads = jnp.concatenate([first, heads[:-1]], axis=0)
     guards = prev_heads * (1.0 - w) + tails * w
 
     # Per-symbol per-axis PAPR (encode.cc:115-126), as metrics.
@@ -98,4 +113,4 @@ def synthesize(fdom, guard_len: int, papr_mask=None):
         jnp.sum(power, axis=1), 1e-30)
 
     wave = jnp.concatenate([guards, tdom], axis=1).reshape(-1, 2)
-    return wave, papr
+    return wave, papr, heads[-1]

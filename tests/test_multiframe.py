@@ -127,3 +127,36 @@ def test_decode_recording_isolates_corrupt_frame(two_frames):
     ok = np.asarray(res["ok"])
     assert bool(ok[0]) and pipe.payload_bytes(res, 0) == payloads[0]
     assert not bool(ok[1])          # CRC gate rejects the wreck
+
+
+def test_chunked_encode_matches_whole_graph():
+    """The pow2-ladder chunked continuous encode (bounded compiled
+    graphs for ANY file count) must reproduce the whole-transmission
+    graph to f32 reassociation tolerance — 1 ULP measured; far below
+    the int16 wire quantisation step."""
+    import jax
+    import jax.numpy as jnp
+
+    from modem_tpu import cplx
+    from modem_tpu.parallel import toy_config
+
+    cfg = toy_config()
+    enc = Encoder(cfg)
+    rng = np.random.default_rng(0)
+    whole = jax.jit(enc._encode_traced, static_argnames=("n_frames",))
+    for n in (1, 3, 9):
+        payloads = [rng.integers(0, 256, cfg.mode.data_bytes,
+                                 dtype=np.uint8).tobytes()
+                    for _ in range(n)]
+        w_new, p_new = enc.encode(payloads, B.base37_encode("TOY"))
+        ps = [B.scramble(p) for p in payloads]
+        mesg = np.stack([enc.mesg_bits(p) for p in ps])
+        meta = np.broadcast_to(
+            cplx.from_np(enc.meta_fdom(B.base37_encode("TOY"))),
+            (n, cfg.symbol_len, 2))
+        w_old, p_old = whole(jnp.asarray(mesg), jnp.asarray(meta),
+                             n_frames=n)
+        assert np.allclose(w_new, cplx.to_np(np.asarray(w_old)),
+                           atol=1e-6)
+        assert np.allclose(p_new, np.asarray(p_old), rtol=1e-5,
+                           atol=1e-7)
