@@ -36,18 +36,27 @@ def main():
         if batch % F:
             print(f"F={F}: skipped (batch {batch} not divisible)")
             continue
+        # vary inputs per rep and FETCH results: block_until_ready
+        # does not block through the axon tunnel, and identical
+        # graph+input calls may be memoized by the remote runtime
+        # (CLAUDE.md traps — the old loop reported 0.00 ms/frame)
+        seps = [jnp.asarray(
+            rng.normal(2.0, 1.0, (batch, code.code_len)).astype(
+                np.float32)) for _ in range(4)]
         t0 = time.time()
         dec = jax.jit(make_pallas_decoder(code.frozen, 8,
                                           frames_per_cell=F))
         cw, pm = dec(llrs)
-        jax.block_until_ready(pm)
+        np.asarray(pm)
         t_compile = time.time() - t0
-        reps = 5
-        t0 = time.time()
-        for _ in range(reps):
-            cw, pm = dec(llrs)
-            jax.block_until_ready(pm)
-        dt = (time.time() - t0) / reps
+        times = []
+        for r in range(4):
+            t0 = time.time()
+            cw, pm = dec(seps[r])
+            np.asarray(pm)
+            np.asarray(cw[:, 0, :64])
+            times.append(time.time() - t0)
+        dt = min(times)
         print(f"F={F}: {dt * 1e3 / batch:.2f} ms/frame "
               f"({dt * 1e3:.1f} ms/batch, compile+1st {t_compile:.1f} s)",
               flush=True)

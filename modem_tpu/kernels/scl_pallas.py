@@ -56,7 +56,15 @@ CHUNK2 = 128      # tier-2 tile width (node width <= 128)
  OPX_SPC_2, OPX_REPSPC_2,
  OPX_RATE0_FL, OPX_REP_FL, OPX_RATE1_FL, OPX_SPC_FL,
  OPX_RATE0_GR, OPX_REP_GR, OPX_RATE1_GR, OPX_SPC_GR,
- OPX_REPSPC_FL, OPX_REPSPC_GR) = range(33)
+ OPX_REPSPC_FL, OPX_REPSPC_GR,
+ OPX_FF_2, OPX_GF_2, OPX_CG_2, OPX_CC_2) = range(37)
+
+# spare column used by the CC_2 pair op for op2's beta-slot write id
+C_P2A = 14
+
+# chain-pair fusion toggle (A/B benchmarking; tests pin parity in
+# both states via ops_override-free schedules)
+PAIR_FUSION = True
 
 
 def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
@@ -272,7 +280,79 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
         fused2.append(ops16[i])
         i += 1
     ops16 = np.stack(fused2)
+
+    # ---- chain-pair fusion (round 3): two consecutive DEPENDENT
+    # tier-2 chain ops execute as ONE iteration with the intermediate
+    # value register-chained — op2's read of op1's output skips both
+    # the VMEM round trip and the 3-pass lane-permute matmul (op1
+    # always writes lane-dense and resets that indirection row, so the
+    # identity-permute read it replaces is exact).  Four pair shapes
+    # cover the descending/ascending chains left in the schedule:
+    #   F2>F2, G2>F2 (descend: op2 reads op1's LLR output; all op2
+    #     params derive from op1's row — dst+1, width/2),
+    #   C2>G2 (ascend-then-descend: op2's left beta IS op1's output),
+    #   C2>C2 (ascend: op2's RIGHT beta is op1's output; op2's left
+    #     beta slot/row + write slot pack into op1's unused columns).
+    # Invariants asserted here so a schedule change can never silently
+    # mispair.  Wire schedule: 5713 -> ~4900 iterations.
+    fused3 = []
+    i = 0
+    n2 = len(ops16) if PAIR_FUSION else -1
+    while i < n2 - 1:
+        a, b = ops16[i], ops16[i + 1]
+        oa, ob = int(a[C_OP]), int(b[C_OP])
+        desc = (b[C_SRC] == a[C_DST] and b[C_D] == a[C_D] + 1
+                and 2 * b[C_WIDTH] == a[C_WIDTH]
+                and b[C_DST] == a[C_DST] + 1 and a[C_LAST] > 0
+                and b[C_LAST] > 0)
+        if oa == OPX_F2 and ob == OPX_F2 and desc:
+            row = a.copy()
+            row[C_OP] = OPX_FF_2
+            fused3.append(row)
+            i += 2
+            continue
+        if oa == OPX_G2 and ob == OPX_F2 and desc:
+            row = a.copy()
+            row[C_OP] = OPX_GF_2
+            fused3.append(row)
+            i += 2
+            continue
+        if (oa == OPX_C2 and ob == OPX_G2
+                and b[C_BSRC] == a[C_BDST] and b[C_SIDR] == a[C_SIDW]
+                and b[C_D] == a[C_D] - 1
+                and b[C_WIDTH] == 2 * a[C_WIDTH]
+                and a[C_LAST] > 0 and b[C_LAST] > 0
+                and b[C_SRC] == b[C_D] - D2
+                and b[C_DST] == b[C_D] + 1 - D2):
+            row = a.copy()
+            row[C_OP] = OPX_CG_2
+            fused3.append(row)
+            i += 2
+            continue
+        if (oa == OPX_C2 and ob == OPX_C2
+                and b[C_BSRC2] == a[C_BDST] and b[C_SIDR2] == a[C_SIDW]
+                and b[C_D] == a[C_D] - 1
+                and b[C_WIDTH] == 2 * a[C_WIDTH]
+                and a[C_LAST] > 0 and b[C_LAST] > 0):
+            row = a.copy()
+            row[C_OP] = OPX_CC_2
+            row[C_SRC] = b[C_SIDR]     # op2 left-beta slot id
+            row[C_SRC2] = b[C_BSRC]    # op2 left-beta row
+            row[C_DST] = b[C_BDST]     # op2 beta write row
+            row[C_P2A] = b[C_SIDW]     # op2 beta write slot id
+            fused3.append(row)
+            i += 2
+            continue
+        fused3.append(a)
+        i += 1
+    if PAIR_FUSION:
+        if i < n2:
+            fused3.append(ops16[i])
+        ops16 = np.stack(fused3)
     n_ops = len(ops16)
+    # expose the final instruction table for schedule analysis tools
+    global LAST_OPS
+    LAST_OPS = ops16
 
     def iota2(shape, dim):
         return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
@@ -1065,6 +1145,81 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                     reset_ref(depths + ops_ref[i, C_SIDW], last)
                     return 0
 
+                # ---- chain-pair ops (round 3; dispatched tier-2
+                # only).  op2's read of op1's output is the REGISTER
+                # value: op1 writes lane-dense and resets that
+                # indirection row, so the identity-permute read it
+                # replaces is exact (betas are {-1,0,+1}: the skipped
+                # bf16 store/load round trip is exact too).
+                def t_ff(_):
+                    blk = clean(rd_llr(d, ops_ref[i, C_SRC]),
+                                2 * width)
+                    v1 = f_of(blk, shl(blk, width))
+                    wr_llr(ops_ref[i, C_DST], v1)
+                    w2 = width // 2
+                    v1c = clean(v1, width)
+                    wr_llr(ops_ref[i, C_DST] + 1,
+                           f_of(v1c, shl(v1c, w2)))
+                    reset_ref(d + 1, 1)
+                    reset_ref(d + 2, 1)
+                    return 0
+
+                def t_gf(_):
+                    blk = clean(rd_llr(d, ops_ref[i, C_SRC]),
+                                2 * width)
+                    b = shl(blk, width)
+                    bl = clean(rd_beta(ops_ref[i, C_SIDR],
+                                       ops_ref[i, C_BSRC]), width)
+                    v1 = b + bl * blk
+                    wr_llr(ops_ref[i, C_DST], v1)
+                    w2 = width // 2
+                    v1c = clean(v1, width)
+                    wr_llr(ops_ref[i, C_DST] + 1,
+                           f_of(v1c, shl(v1c, w2)))
+                    reset_ref(d + 1, 1)
+                    reset_ref(d + 2, 1)
+                    return 0
+
+                def t_cg(_):
+                    bl = rd_beta(ops_ref[i, C_SIDR],
+                                 ops_ref[i, C_BSRC])
+                    br = clean(rd_beta(ops_ref[i, C_SIDR2],
+                                       ops_ref[i, C_BSRC2]), width)
+                    v1 = jnp.where(cmask(width), bl * br,
+                                   shr(br, width))
+                    wr_beta(ops_ref[i, C_BDST], v1)
+                    reset_ref(depths + ops_ref[i, C_SIDW], 1)
+                    # G2 at depth d-1, width 2w; left beta = v1
+                    d2 = d - 1
+                    w2 = 2 * width
+                    blk = clean(rd_llr(d2, d2 - D2), 2 * w2)
+                    b = shl(blk, w2)
+                    blv = clean(v1, w2)
+                    wr_llr(d2 + 1 - D2, b + blv * blk)
+                    reset_ref(d2 + 1, 1)
+                    return 0
+
+                def t_cc(_):
+                    bl = rd_beta(ops_ref[i, C_SIDR],
+                                 ops_ref[i, C_BSRC])
+                    br = clean(rd_beta(ops_ref[i, C_SIDR2],
+                                       ops_ref[i, C_BSRC2]), width)
+                    v1 = jnp.where(cmask(width), bl * br,
+                                   shr(br, width))
+                    wr_beta(ops_ref[i, C_BDST], v1)
+                    reset_ref(depths + ops_ref[i, C_SIDW], 1)
+                    # C2 at depth d-1, width 2w; RIGHT beta = v1,
+                    # left beta slot/row + write ids from packed cols
+                    w2 = 2 * width
+                    bl2 = rd_beta(ops_ref[i, C_SRC],
+                                  ops_ref[i, C_SRC2])
+                    br2 = clean(v1, w2)
+                    v2 = jnp.where(cmask(w2), bl2 * br2,
+                                   shr(br2, w2))
+                    wr_beta(ops_ref[i, C_DST], v2)
+                    reset_ref(depths + ops_ref[i, C_P2A], 1)
+                    return 0
+
                 return (t_f_s, t_g_s, t_c_s, leaf_op(rate0_core),
                         leaf_op(rep_core), leaf_op(rate1_core),
                         leaf_op(spc_leaf_core), t_rep_spc,
@@ -1074,7 +1229,8 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                         leaf_op_gr(rate0_core), leaf_op_gr(rep_core),
                         leaf_op_gr(rate1_core),
                         leaf_op_gr(spc_leaf_core),
-                        t_rep_spc_fl, t_rep_spc_gr)
+                        t_rep_spc_fl, t_rep_spc_gr,
+                        t_ff, t_gf, t_cg, t_cc)
 
             t1 = make_tier(CHUNK, read_llr, read_beta, put_llr,
                            put_beta)
@@ -1087,7 +1243,7 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
              do_spc_2, do_rep_spc_2, do_rate0_fl, do_rep_fl,
              do_rate1_fl, do_spc_fl, do_rate0_gr, do_rep_gr,
              do_rate1_gr, do_spc_gr, do_rep_spc_fl,
-             do_rep_spc_gr) = t2
+             do_rep_spc_gr, do_ff_2, do_gf_2, do_cg_2, do_cc_2) = t2
 
             jax.lax.switch(op, [do_f, do_g, do_combine, do_rate0,
                                 do_rep, do_rate1, do_spc, do_f_s,
@@ -1099,7 +1255,9 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                                 do_rate0_fl, do_rep_fl, do_rate1_fl,
                                 do_spc_fl, do_rate0_gr, do_rep_gr,
                                 do_rate1_gr, do_spc_gr,
-                                do_rep_spc_fl, do_rep_spc_gr], 0)
+                                do_rep_spc_fl, do_rep_spc_gr,
+                                do_ff_2, do_gf_2, do_cg_2,
+                                do_cc_2], 0)
             return 0
 
         jax.lax.fori_loop(0, n_ops, body, 0)
