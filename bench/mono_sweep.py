@@ -15,7 +15,15 @@ so its noise statistics match the reference's acoustic use exactly:
 same channel, observed mono.  Hilbert tap design (SURVEY Appendix A)
 affects exactly this margin.
 
-Usage: python bench/mono_sweep.py [batch] [mode] [spread]
+The expected gap is EXACTLY 3 dB by physics, not a defect: a single
+real observation halves the noise power but the one-sided analytic
+reconstruction doubles the in-band noise PSD (2 sigma^2/fs vs
+sigma^2/fs for two independent quadratures), so signal recovery is
+identical and in-band noise is +3 dB.  A measured offset of ~3 dB
+therefore means the front-end has ~zero excess implementation loss.
+
+Usage: python bench/mono_sweep.py [batch] [mode] [spread] [levels...]
+  levels: AWGN dB levels (default -40..-16 coarse grid)
 """
 
 import sys
@@ -53,7 +61,9 @@ def main():
           "multipath + CFO 234.567 Hz + SFO 147 ppm + AWGN; "
           "analytic vs mono-int16 (device Hilbert front-end):",
           flush=True)
-    for awgn_db in [-40, -35, -30, -25, -22, -20, -18, -17, -16]:
+    levels = ([float(a) for a in sys.argv[4:]] if len(sys.argv) > 4
+              else [-40, -35, -30, -25, -22, -20, -18, -17, -16])
+    for awgn_db in levels:
         recs = []
         for i, c in enumerate(clean):
             y = channel.multipath(c, spread=spread)
@@ -75,7 +85,7 @@ def main():
                     bool(np.asarray(r["ok"])[0]) and \
                     pipe.payload_bytes(r, 0) == payloads[i]:
                 ok_m += 1
-        print(f"  awgn {awgn_db:+d} dB: analytic {ok_a}/{batch}, "
+        print(f"  awgn {awgn_db:+g} dB: analytic {ok_a}/{batch}, "
               f"mono {ok_m}/{batch}", flush=True)
 
 

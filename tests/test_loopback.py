@@ -119,6 +119,29 @@ def test_failure_path_transcript(mode6_wave):
     assert res.snr_db is not None
 
 
+def test_loopback_mono_impaired(mode6_wave):
+    """Mono robustness regression (VERDICT r2 #5): the reference's
+    headline acoustic workflow is ONE-channel 16-bit audio
+    (decode.cc:294-301 dequantise -> BlockDC -> Hilbert).  Run the
+    full reference impairment chain (x10-spread multipath + CFO
+    234.567 Hz + SFO 147 ppm + AWGN -30 dB), observe only the real
+    projection quantised to int16, and require byte-exact recovery —
+    pins the Hilbert/BlockDC margin under impairment, not just clean
+    loopback (bench/mono_sweep.py measures the full envelope)."""
+    from modem_tpu import channel
+
+    cfg, payload, rec, _ = mode6_wave
+    y = channel.multipath(rec, spread=10)
+    y = channel.cfo(y, 234.567, cfg.rate)
+    y = channel.sfo(y, 147.0)
+    y = channel.awgn(y, -30.0, np.random.default_rng(11))
+    q = np.clip(np.rint(y.real * 32767.0), -32768, 32767)
+    mono = (q / 32767.0).astype(np.float32)
+    res = Decoder(8000).decode(mono, channels=1)
+    assert res.ok, res.status
+    assert res.payload == payload
+
+
 def test_papr_reported(mode6_wave):
     _, _, _, papr = mode6_wave
     db = 10 * np.log10(papr[papr[:, 0] > 0, 0])
