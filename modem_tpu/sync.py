@@ -255,6 +255,11 @@ class Synchronizer:
     CHUNK_AUTO_THRESHOLD = 1 << 21
     CHUNK_DEFAULT = 1 << 20
     CHUNK_SMALL = 1 << 17       # ladder size for sub-2M recordings
+    # retain the scan's on-device analytic recording for later window
+    # slicing when it costs at most this much HBM (16 B/sample bound:
+    # 8 B/sample f32 split-complex x <= 2x pad-chunk overestimate);
+    # 512 MB covers ~2 h of 8 kHz audio on a 16 GB v5e
+    RETAIN_LIMIT_BYTES = 1 << 29
 
     def _chunk_fn(self, c: int, ctx: int):
         """Jitted one-chunk metrics + Schmitt pass, O(chunk) device mem."""
@@ -333,7 +338,7 @@ class Synchronizer:
     MAX_CHUNKS_PER_CALL = 16
 
     def _extract_batch_fn(self, c: int, ctx: int, k: int, m: int,
-                          front=None):
+                          front=None, retain: bool = False):
         """Jitted m-chunk metrics + Schmitt + segmented-argmax pass.
 
         Returns only the first ``k`` falling edges of each chunk with
@@ -348,8 +353,15 @@ class Synchronizer:
         (and for mono the DC-block + Hilbert front-end, fed by
         ``front_lead`` extra raw context samples) runs on device
         inside this same graph (ingest.py; decode.cc:294-301).
+
+        ``retain``: additionally return each chunk's front-ended
+        analytic samples [m, c + 2L, 2] (the [n0, n0 + c + 2L) span)
+        so the caller can keep the whole analytic recording ON DEVICE
+        for later window slicing — the payload/header/fine windows
+        then cost zero extra transfer and zero front-end recompute
+        (docs/PERFORMANCE.md, decode-all breakdown).
         """
-        key = (c, ctx, k, m, front)
+        key = (c, ctx, k, m, front, retain)
         fn = self._extract_fns.get(key)
         if fn is None:
             md = self.match_del
@@ -365,6 +377,7 @@ class Synchronizer:
                             self.dc_window, self.taps)
                     else:
                         seg = ingest.dequant_dev(seg, bits)
+                keep = seg[ctx:] if retain else jnp.zeros((0,))
                 # chunk 0's left context is recording-start zero pad:
                 # mask its product terms (see _metrics docstring)
                 t, p = self._metrics(
@@ -376,7 +389,7 @@ class Synchronizer:
                 psh_c = psh[ctx: ctx + c]
                 j = jnp.arange(c)
                 psh_c = jnp.where((n0 == 0) & (j < md), p[ctx], psh_c)
-                return t_c, psh_c
+                return t_c, psh_c, keep
 
             def compose(lft, rgt):
                 a1, b1 = lft
@@ -384,7 +397,7 @@ class Synchronizer:
                 return a2 | (b2 & a1), b2 & b1
 
             def run(segs, n0s, st_carry, mx_carry):
-                t_c, psh_c = jax.vmap(chunk_metrics)(segs, n0s)
+                t_c, psh_c, keep = jax.vmap(chunk_metrics)(segs, n0s)
                 # Schmitt per chunk, then cross-chunk carry recovery
                 a = t_c > self.thr_hi
                 b = t_c >= self.thr_lo
@@ -430,7 +443,10 @@ class Synchronizer:
                 nmax = jnp.take_along_axis(ri, ee, axis=1)
                 ph = jnp.take_along_axis(rp, ee, axis=1)
                 edges = jnp.where(valid, edges, -1)
-                return edges, nmax, ph, st_out, (pv[-1], pi[-1], pp[-1])
+                carry_out = (pv[-1], pi[-1], pp[-1])
+                if retain:
+                    return edges, nmax, ph, st_out, carry_out, keep
+                return edges, nmax, ph, st_out, carry_out
 
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec
@@ -445,7 +461,8 @@ class Synchronizer:
         return fn
 
     def _events_device(self, x: np.ndarray, chunk_samples: int,
-                       max_edges: int, front=None):
+                       max_edges: int, front=None,
+                       retain: bool = False):
         """(edge, n_max, phase[n_max - match_del]) for the first
         ``max_edges`` falling edges, computed in super-batches of
         MAX_CHUNKS_PER_CALL chunks per jit call, O(chunks_per_call)
@@ -459,11 +476,17 @@ class Synchronizer:
         ``front``: raw-PCM mode (see _extract_batch_fn) — ``x`` is
         then the quantised [T] mono / [T, 2] stereo wire array and
         chunks cross the tunnel in wire dtype.
+
+        Returns (events, analytic): with ``retain`` (PCM fronts only)
+        ``analytic`` is the whole front-ended recording as ONE
+        device-resident [T', 2] f32 array (T' >= t_all; pad chunks
+        contribute dequantised-silence zeros) assembled from the scan
+        chunks' own outputs, else None.
         """
         t_all = x.shape[0]
         n_out = t_all - 2 * self.L
         if n_out <= 0:
-            return []
+            return [], None
         ctx = -(-(2 * self.L + self.match_len) // _BLK) * _BLK
         # chunks must cover their own left context (see metrics_host)
         c = max(-(-int(chunk_samples) // _BLK) * _BLK, ctx)
@@ -478,6 +501,8 @@ class Synchronizer:
         # arrays), so jax's async dispatch pipelines host slicing,
         # transfer and compute across calls; only the tiny per-call
         # edge triples are fetched, in phase 2.
+        retain = retain and front is not None and self.mesh is None
+        keeps = []
         pending = []
         g0 = 0
         while g0 < n_chunks:
@@ -490,7 +515,8 @@ class Synchronizer:
             if self.mesh is not None:   # chunk axis divides the mesh
                 nd = self.mesh.devices.size
                 m = max(nd, -(-m // nd) * nd)
-            fn = self._extract_batch_fn(c, ctx, max_edges, m, front)
+            fn = self._extract_batch_fn(c, ctx, max_edges, m, front,
+                                        retain)
             if front is None:
                 segs = np.zeros((m, want, 2), np.float32)
             else:
@@ -512,9 +538,14 @@ class Synchronizer:
                 n0s[j] = n0
             # np arrays pass straight to jit: with a mesh set, the
             # in_shardings place each chunk row on its device directly
-            edges, nmax, ph, st, mx = fn(segs, n0s, st, mx)
+            if retain:
+                edges, nmax, ph, st, mx, keep = fn(segs, n0s, st, mx)
+                keeps.append(keep)
+            else:
+                edges, nmax, ph, st, mx = fn(segs, n0s, st, mx)
             pending.append((edges, nmax, ph, n0s))
             g0 += m
+        analytic = self._assemble_keep(keeps, c) if keeps else None
         # Phase 2 — fetch in time order, stop once enough edges
         events = []
         for edges, nmax, ph, n0s in pending:
@@ -526,7 +557,22 @@ class Synchronizer:
                     events.append((int(n0s[j] + e), int(nm), float(p_)))
             if len(events) >= max_edges:
                 break
-        return events[:max_edges]
+        return events[:max_edges], analytic
+
+    def _assemble_keep(self, keeps, c: int):
+        """Concatenate per-call retained chunks [m_i, c + 2L, 2] into
+        one device [T', 2] analytic recording: each chunk contributes
+        its canonical [n0, n0 + c) span; the final chunk also its 2L
+        tail (recording samples past the last metric output)."""
+        key = ("asm", c, tuple(k.shape for k in keeps))
+        fn = self._chunk_fns.get(key)
+        if fn is None:
+            def asm(*parts):
+                flat = [p[:, :c].reshape(-1, 2) for p in parts]
+                return jnp.concatenate(flat + [parts[-1][-1, c:]], 0)
+            fn = jax.jit(asm)
+            self._chunk_fns[key] = fn
+        return fn(*keeps)
 
     # -- public API --------------------------------------------------------
     def scan(self, x, max_candidates: int = 8,
@@ -581,10 +627,22 @@ class Synchronizer:
             if pcm is not None:
                 front = ("mono" if pcm.channels == 1 else "stereo",
                          pcm.bits)
-                raw = self._events_device(pcm.data, chunk_samples,
-                                          max_edges, front)
+                # retain the on-device analytic recording when it fits
+                # comfortably in HBM (f32 split-complex, <= ~512 MB
+                # incl. pad chunks): the later fine/header/payload
+                # window stages then slice it directly instead of
+                # re-transferring + re-front-ending raw PCM — the
+                # dominant cost of decode-all (docs/PERFORMANCE.md).
+                # pcm.data is treated as immutable (wire convention).
+                retain = 16 * pcm.n_samples <= self.RETAIN_LIMIT_BYTES
+                raw, analytic = self._events_device(
+                    pcm.data, chunk_samples, max_edges, front,
+                    retain=retain)
+                if analytic is not None:
+                    pcm._analytic_dev = analytic
             else:
-                raw = self._events_device(x, chunk_samples, max_edges)
+                raw, _ = self._events_device(x, chunk_samples,
+                                             max_edges)
         else:
             timing, phase, state, falling = self.metrics_host(x)
             raw = []
@@ -640,6 +698,9 @@ class Synchronizer:
         reassociation tolerance vs the whole-recording front-end —
         harmless below channel noise (the scan metrics path, which IS
         parity-tested, keeps alignment)."""
+        an = getattr(pcm, "_analytic_dev", None)
+        if an is not None:
+            return self._cached_windows(an, starts, out_len)
         kind = "mono" if pcm.channels == 1 else "stereo"
         fl = self.front_lead if kind == "mono" else 0
         n = len(starts)
@@ -670,6 +731,31 @@ class Synchronizer:
             fn = jax.jit(conv)
             self._pcm_win_fns[key] = fn
         return fn(jnp.asarray(raws), jnp.asarray(abs0s))[:n]
+
+    def _cached_windows(self, an, starts, out_len: int):
+        """Slice [n, out_len, 2] windows from the scan's retained
+        device-resident analytic recording (sync.scan retain path):
+        zero extra tunnel transfer and zero front-end recompute.  The
+        analytic array index IS the absolute recording index; spans
+        reaching before sample 0 / past the end read the zero pad
+        (identical to the raw path's quantised-silence fill).  Values
+        match the raw-window path to f32 reassociation tolerance and
+        the scan/host spec front-end EXACTLY (chunk-aligned DC
+        grouping; the raw path regroups at window starts)."""
+        n = len(starts)
+        npad = 1 << max(0, (n - 1).bit_length())
+        s0s = np.zeros(npad, np.int32)
+        s0s[:n] = [int(s) for s in starts]
+        key = ("cached", out_len, npad, int(an.shape[0]))
+        fn = self._pcm_win_fns.get(key)
+        if fn is None:
+            def conv(a, ss):
+                a = jnp.pad(a, ((out_len, out_len), (0, 0)))
+                return jax.vmap(lambda s0: jax.lax.dynamic_slice(
+                    a, (s0 + out_len, 0), (out_len, 2)))(ss)
+            fn = jax.jit(conv)
+            self._pcm_win_fns[key] = fn
+        return fn(an, jnp.asarray(s0s))[:n]
 
     def _window(self, x: np.ndarray, p0: int) -> np.ndarray:
         L = self.L

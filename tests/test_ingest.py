@@ -138,6 +138,32 @@ def test_pcm_decode_recording(bits, stereo):
             assert pipe.payload_bytes(res, i) == payloads[0]
 
 
+@pytest.mark.parametrize("bits,stereo", [(16, False), (16, True),
+                                         (8, False)])
+def test_cached_windows_match_raw_path(bits, stereo):
+    """sync.scan retains the on-device analytic recording
+    (pcm._analytic_dev) and _pcm_windows slices it directly; those
+    windows must match the raw-PCM re-front-end path to f32
+    reassociation tolerance, including spans reaching past the
+    recording edges (zero-pad parity)."""
+    import jax.numpy as jnp
+
+    pcm, _ = _toy_pcm(n_copies=2, bits=bits, stereo=stereo)
+    sync = Synchronizer(toy_config())
+    sync.scan(pcm, max_candidates=8)
+    an = getattr(pcm, "_analytic_dev", None)
+    assert an is not None            # retention on for small PCM
+    t = pcm.n_samples
+    assert an.shape[0] >= t
+    out_len = 3000
+    starts = [-500, 0, 137, t // 2, t - out_len, t - 100]
+    cached = np.asarray(sync._cached_windows(an, starts, out_len))
+    del pcm._analytic_dev            # force the raw re-front-end path
+    raw = np.asarray(sync._pcm_windows(pcm, starts, out_len))
+    assert cached.shape == raw.shape == (len(starts), out_len, 2)
+    assert np.allclose(cached, raw, rtol=1e-4, atol=2e-5)
+
+
 def test_read_wav_raw_roundtrip(tmp_path):
     """write_wav -> read_wav_raw keeps wire dtype and samples."""
     rng = np.random.default_rng(0)
