@@ -71,7 +71,8 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                         frames_per_cell: int = 1,
                         interpret: bool = False, ops_override=None,
                         beta_bf16: bool = True, exact: bool = True,
-                        decompose_spc: bool = False):
+                        decompose_spc: bool = False,
+                        rank_select: bool = False):
     """Compile the Pallas SCL decoder for one frozen mask.
 
     Returns fn: llrs [batch, code_len] f32 -> (codewords [batch, L,
@@ -89,6 +90,16 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
     False); decompose_spc=True instead decomposes SPC nodes into
     subtrees (the round-2 exact path, ~2x the ops; cross-check
     oracle).
+
+    rank_select=True replaces the L serial min-extraction rounds in
+    both fork selectors with single-pass rank computations (all
+    pairwise precedence counts at once) over a dominance-reduced
+    candidate set — provably the same winners and tie-breaks
+    (bit-exact in CI), but MEASURED 5.4x SLOWER on chip: the VPU is
+    instruction-throughput bound, not dependence-depth bound, so the
+    extra data-parallel passes cost more than the removed serial
+    rounds ever stalled.  Kept as the experiment that pinned the
+    cost model; see docs/SCL_KERNEL.md §7d.  Not for serving.
     """
     emit_spc, t_r1, t_spc, spc_exact = scl_params(list_size, exact,
                                                   decompose_spc)
@@ -550,6 +561,219 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
 
         return select
 
+    # ---- single-pass rank selectors (round 3, docs/SCL_KERNEL.md
+    # §7d).  Both compute every candidate's within-frame precedence
+    # count (rank) in one data-parallel pass and read the L winners
+    # off rank==k masks, replacing the L serially-dependent
+    # min-extraction rounds.  The precedence order is EXACTLY the
+    # VM's flat top_k order — (value asc, flat candidate index asc) —
+    # so winners, slot order, and tie-breaks are bit-identical.
+
+    def _lane_helpers():
+        """to_lane / to_lane_val as in the round selectors: map a
+        per-(frame, slot) [F, L] table to per-lane [P, 1] columns via
+        diag(FSEL @ v @ LSEL) — no lane-crossing reshapes."""
+        lane_frame = iota2((P, F), 0) // L
+        fsel = (iota2((P, F), 1) == lane_frame).astype(jnp.float32)
+        lsel = (iota2((L, P), 1) % L == iota2((L, P), 0)).astype(
+            jnp.float32)
+        eye_p = (iota2((P, P), 0) == iota2((P, P), 1)).astype(
+            jnp.float32)
+
+        def to_lane(v):
+            a = jnp.dot(fsel, jnp.dot(v, lsel,
+                                      preferred_element_type=jnp.float32),
+                        preferred_element_type=jnp.float32)
+            return jnp.sum(a * eye_p, axis=1, keepdims=True)
+
+        def to_lane_val(v):
+            hi = v.astype(jnp.bfloat16).astype(jnp.float32)
+            rem = v - hi
+            mid = rem.astype(jnp.bfloat16).astype(jnp.float32)
+            lo = rem - mid
+            d = lambda p: jnp.dot(p, lsel,
+                                  preferred_element_type=jnp.float32)
+            a = dot_sel(fsel, d(hi) + (d(mid) + d(lo)))
+            return jnp.sum(a * eye_p, axis=1, keepdims=True)
+
+        return to_lane, to_lane_val
+
+    def make_select_l_rank():
+        """Rank-based replacement for make_select_l_smallest: the
+        frame's 2L keep/flip candidates are ranked in ONE pass.
+
+        Candidate (p, c) (c=0 keep, c=1 flip) has within-frame flat
+        index c*L + l (all keeps before all flips, lanes ascending —
+        the [F, 2P] pos order of the round selector).  Its rank is the
+        number of frame candidates preceding it under (value asc, flat
+        asc), accumulated over the L within-frame lane offsets via
+        sublane rotations; slot k's winner is the candidate with
+        rank == k (ranks are distinct: the order is total)."""
+        to_lane, to_lane_val = _lane_helpers()
+        l2 = iota2((P, 2), 0) % L
+        c2 = iota2((P, 2), 1)
+        key2 = c2 * L + l2                     # within-frame flat index
+        l1 = iota2((P, 1), 0) % L
+        kio = iota2((P, L), 1).astype(jnp.float32)
+        p_col = iota2((P, 1), 0).astype(jnp.float32)
+        lane_frame = iota2((F, P), 1) // L
+        fselT = (lane_frame == iota2((F, P), 0)).astype(jnp.float32)
+
+        def select(keep_row, delta_col):
+            keep_col = keep_row.T                           # [P, 1]
+            cand2 = jnp.concatenate(
+                [keep_col, keep_col + delta_col], axis=1)   # [P, 2]
+            cnt = jnp.zeros((P, 2), jnp.float32)
+            for o in range(L):
+                if o == 0:
+                    rolled = cand2
+                else:
+                    # row p -> row f*L + (l+o)%L of the same frame:
+                    # a global sublane rotation, wrap rows fixed up
+                    r_main = pltpu.roll(cand2, P - o, 0)
+                    r_wrap = pltpu.roll(cand2, L - o, 0)
+                    rolled = jnp.where(l2 < L - o, r_main, r_wrap)
+                lp = jnp.where(l1 + o < L, l1 + o, l1 + o - L)
+                kv = rolled[:, 0:1]                # their keep value
+                fv = rolled[:, 1:2]                # their flip value
+                cnt = cnt + jnp.where(
+                    (kv < cand2) | ((kv == cand2) & (lp < key2)),
+                    1.0, 0.0)
+                cnt = cnt + jnp.where(
+                    (fv < cand2) | ((fv == cand2) & (lp + L < key2)),
+                    1.0, 0.0)
+            r0 = cnt[:, 0:1]
+            r1 = cnt[:, 1:2]
+            m0 = r0 == kio                          # [P, L]
+            m1 = r1 == kio
+            at_rows = (jnp.where(m0, p_col, 0.0)
+                       + jnp.where(m1, p_col, 0.0))
+            fl_rows = jnp.where(m1, 1.0, 0.0)
+            v_rows = (jnp.where(m0, jnp.broadcast_to(cand2[:, 0:1],
+                                                     (P, L)), 0.0)
+                      + jnp.where(m1, jnp.broadcast_to(cand2[:, 1:2],
+                                                       (P, L)), 0.0))
+            # one nonzero per (frame, slot) column: the frame sums are
+            # exact; lane indices < 128 ride plain (bf16-exact) dots
+            at_all = jnp.dot(fselT, at_rows,
+                             preferred_element_type=jnp.float32)
+            fl_all = jnp.dot(fselT, fl_rows,
+                             preferred_element_type=jnp.float32)
+            v_all = dot_sel(fselT, v_rows)
+            perm = jnp.round(to_lane(at_all)).astype(jnp.int32)
+            flip = jnp.round(to_lane(fl_all)).astype(jnp.int32)
+            return perm, flip, to_lane_val(v_all).T
+
+        return select
+
+    # the 13 flip patterns (binary codes over the 7 least-reliable
+    # positions, values sorted ascending) that can ever reach a top-8:
+    # a pattern outside this set has >= 8 strict dominators — remove
+    # an element or shift an index down and the subset sum never
+    # increases, and for SPC costs the parity swap changes the cost by
+    # -b_j +- a0 <= 0 since a0 <= every b_j — each with a strictly
+    # smaller binary code, so it loses even under value ties.
+    # Columns 0..9 are codes 0..9; 10/11/12 are {5}/{6}/{7}.
+    RANK_NC = 16                      # 13 live + 3 dead columns
+
+    def make_select_flat_rank():
+        """Rank-based replacement for make_select_flat over the
+        dominance-reduced candidate matrix [P, 16] (13 live patterns
+        per lane instead of 128).
+
+        Roll-aligned frame rank in pure full-width 2D: the L
+        within-frame lane offsets' candidate rows rotate into
+        registration with ours ([P, NC] sublane rolls, wrap rows fixed
+        up — exactly make_select_l_rank's alignment) and concatenate
+        into ONE [P, L*NC = 128] full-lane-width matrix; each live
+        column q then takes a single [P, 128] compare + row-sum to
+        count its predecessors.  (A rank-3 [P, NC, NC] formulation
+        compiled but blew the 112 MB scoped-VMEM budget by 7 MB at
+        wire size; this shape is both smaller and VPU-dense.)  The
+        precedence order is the VM's flat (value asc, lane*128 +
+        pattern-code asc): columns are code-ascending (0..9 then
+        16/32/64), so (lane, column) lexicographic == the VM order
+        restricted to the live set.  Slot k's winner is read off the
+        rank==k mask in 2D.  No rank-3 iota, no leading reshape
+        (bench/probe_rank3.py pins the working primitive set)."""
+        to_lane, to_lane_val = _lane_helpers()
+        NC = RANK_NC
+        l2 = iota2((P, NC), 0) % L            # our lane-in-frame
+        q2 = iota2((P, NC), 1)
+        live2 = q2 < 13
+        pid2 = jnp.where(
+            q2 < 10, q2, jnp.where(q2 == 10, 16,
+                                   jnp.where(q2 == 11, 32, 64))
+        ).astype(jnp.float32)
+        # [P, L*NC] masks over the packed rolled matrix: column
+        # o*NC + q' holds the o-offset frame-mate's candidate q'
+        LC = L * NC
+        colo = iota2((P, LC), 1) // NC
+        colq = iota2((P, LC), 1) % NC
+        livef = jnp.where(colq < 13, 1.0, 0.0)
+        l2w = iota2((P, LC), 0) % L
+        # tie mask, o>0 part: their lane is lower iff the roll wrapped
+        # (f32 mask arithmetic: Mosaic rejects bool-valued selects,
+        # arith.trunci i8 -> i1)
+        wrapf = jnp.where(l2w >= L - colo, 1.0, 0.0)
+        o0f = jnp.where(colo == 0, 1.0, 0.0)
+        tie_o = (1.0 - o0f) * wrapf * livef
+        p_col = iota2((P, 1), 0).astype(jnp.float32)
+        lane_frame = iota2((F, P), 1) // L
+        fselT = (lane_frame == iota2((F, P), 0)).astype(jnp.float32)
+
+        def select(cand):                            # [P, NC]
+            rolls = []
+            for o in range(L):
+                if o == 0:
+                    rolls.append(cand)
+                else:
+                    r_main = pltpu.roll(cand, P - o, 0)
+                    r_wrap = pltpu.roll(cand, L - o, 0)
+                    rolls.append(jnp.where(l2 >= L - o, r_wrap,
+                                           r_main))
+            rolled_all = jnp.concatenate(rolls, axis=1)  # [P, LC]
+            rank_cols = []
+            for q in range(13):
+                a_col = cand[:, q:q + 1]               # [P, 1]
+                # ties: same lane (o==0) -> their column before ours;
+                # other lanes -> theirs first iff their lane is lower
+                tie = tie_o + o0f * jnp.where(colq < q, livef, 0.0)
+                pre = jnp.where(
+                    rolled_all < a_col, livef,
+                    jnp.where(rolled_all == a_col, tie, 0.0))
+                rank_cols.append(jnp.sum(pre, axis=1, keepdims=True))
+            rank = jnp.concatenate(
+                rank_cols + [jnp.full((P, NC - 13), -1.0,
+                                      jnp.float32)], axis=1)
+            at_l, pid_l, v_l = [], [], []
+            for k in range(L):
+                hit = (rank == k) & live2
+                mk = jnp.where(hit, 1.0, 0.0)
+                win = jnp.sum(mk, axis=1, keepdims=True)   # [P, 1]
+                at_l.append(win * p_col)
+                pid_l.append(jnp.sum(mk * pid2, axis=1,
+                                     keepdims=True))
+                # where, not mk*cand: unselected columns can be inf
+                # (BIG-sentinel subset sums overflow) and 0*inf = NaN
+                v_l.append(jnp.sum(jnp.where(hit, cand, 0.0),
+                                   axis=1, keepdims=True))
+            at_rows = jnp.concatenate(at_l, axis=1)        # [P, L]
+            pid_rows = jnp.concatenate(pid_l, axis=1)
+            v_rows = jnp.concatenate(v_l, axis=1)
+            # one nonzero per (frame, slot) column: frame sums exact;
+            # lanes < 128 and pattern ids <= 64 ride plain bf16 dots
+            at_all = jnp.dot(fselT, at_rows,
+                             preferred_element_type=jnp.float32)
+            pid_all = jnp.dot(fselT, pid_rows,
+                              preferred_element_type=jnp.float32)
+            v_all = dot_sel(fselT, v_rows)
+            perm = jnp.round(to_lane(at_all)).astype(jnp.int32)
+            patp = jnp.round(to_lane(pid_all)).astype(jnp.int32)
+            return perm, patp, to_lane_val(v_all).T
+
+        return select
+
     def kernel(ops_ref, llr_in_ref, cw_ref, pm_ref, llr_d0, llr_s,
                beta_s, llr2_s, beta2_s, refs_s, pm_s):
         # ---- per-cell init -------------------------------------------
@@ -644,8 +868,12 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                     [row, jnp.full((1, 128 - P), BIG, jnp.float32)],
                     axis=1)
 
-        select_l = make_select_l_smallest()
-        select_flat = make_select_flat() if spc_exact else None
+        if rank_select:
+            select_l = make_select_l_rank()
+            select_flat = make_select_flat_rank() if spc_exact else None
+        else:
+            select_l = make_select_l_smallest()
+            select_flat = make_select_flat() if spc_exact else None
 
         # ---- schedule interpreter ------------------------------------
         def body(i, _):
@@ -939,24 +1167,42 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                     vals, idxs = least_reliable(mag, iota, t)
                     # pattern bit j of pattern p is (p >> j) & 1 —
                     # decoded arithmetically from an iota (pallas_call
-                    # rejects captured constant tables)
-                    subs = jnp.zeros((P, 128), jnp.float32)
-                    bitsum128 = jnp.zeros((P, 128), jnp.float32)
-                    pj128 = iota2((P, 128), 1).astype(jnp.float32)
+                    # rejects captured constant tables).  rank_select
+                    # enumerates only the 13 dominance-surviving
+                    # pattern codes (columns 0..9 = codes 0..9,
+                    # 10/11/12 = 16/32/64; see RANK_NC) — a pattern
+                    # outside that set has >= L strict same-lane
+                    # dominators and can never reach the top-L.
+                    NCC = RANK_NC if rank_select else 128
+                    if rank_select:
+                        qc = iota2((P, NCC), 1)
+                        pjC = jnp.where(
+                            qc < 10, qc,
+                            jnp.where(qc == 10, 16,
+                                      jnp.where(qc == 11, 32, 64))
+                        ).astype(jnp.float32)
+                        liveC = qc < 13
+                    else:
+                        pjC = iota2((P, NCC), 1).astype(jnp.float32)
+                        liveC = None
+                    subs = jnp.zeros((P, NCC), jnp.float32)
+                    bitsumC = jnp.zeros((P, NCC), jnp.float32)
                     for j in range(7):
-                        bit = pj128 - 2.0 * jnp.floor(pj128 / 2.0)
+                        bit = pjC - 2.0 * jnp.floor(pjC / 2.0)
                         subs = subs + vals[:, fl0 + j: fl0 + j + 1] * bit
-                        bitsum128 = bitsum128 + bit
-                        pj128 = jnp.floor(pj128 / 2.0)
+                        bitsumC = bitsumC + bit
+                        pjC = jnp.floor(pjC / 2.0)
                     cand = pm_row().T + subs
                     if spc:
                         negs = jnp.sum(jnp.where(b < 0.0, 1.0, 0.0),
                                        axis=1, keepdims=True)
                         odd = negs - 2.0 * jnp.floor(negs / 2.0)
-                        spar = bitsum128 - 2.0 * jnp.floor(
-                            bitsum128 / 2.0)       # pattern popcount parity
+                        spar = bitsumC - 2.0 * jnp.floor(
+                            bitsumC / 2.0)         # pattern popcount parity
                         i0_in = odd + spar - 2.0 * odd * spar  # XOR
                         cand = cand + i0_in * vals[:, 0:1]
+                    if liveC is not None:
+                        cand = jnp.where(liveC, cand, BIG)
                     perm, patp, pm2 = select_flat(cand)
                     pmat = perm_matrix(perm)
                     b = jnp.dot(pmat, b,

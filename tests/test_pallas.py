@@ -118,6 +118,26 @@ def test_pallas_all_opcode_classes():
                 np.sort(cws_p[b], axis=0)).all()
 
 
+@pytest.mark.parametrize("exact", [False, True])
+def test_pallas_rank_select_bit_exact(toy_llrs, exact):
+    """rank_select=True (single-pass rank selectors over the
+    dominance-reduced 13-pattern candidate set; docs/SCL_KERNEL.md
+    §7d) must be BIT-identical to the round-robin extractors — same
+    slots, same order, same path metrics — not merely set-equal.
+    (On chip it measured 5.4x slower; the flag is kept as the
+    experiment that pinned the instruction-throughput cost model.)"""
+    cw, llrs = toy_llrs
+    base = make_pallas_decoder(TOY.frozen, 8, frames_per_cell=2,
+                               interpret=True, exact=exact)
+    rank = make_pallas_decoder(TOY.frozen, 8, frames_per_cell=2,
+                               interpret=True, exact=exact,
+                               rank_select=True)
+    cws_b, pm_b = (np.asarray(v) for v in base(jnp.asarray(llrs)))
+    cws_r, pm_r = (np.asarray(v) for v in rank(jnp.asarray(llrs)))
+    assert np.array_equal(cws_b, cws_r)
+    assert np.array_equal(pm_b, pm_r)
+
+
 def test_pallas_exact_mode_oracle_parity(toy_llrs):
     """exact=True in the kernel (exact SPC parity-adjuster rule, L-1
     RATE1 rounds) must reproduce the bit-by-bit numpy oracle's
