@@ -775,7 +775,7 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
         return select
 
     def kernel(ops_ref, llr_in_ref, cw_ref, pm_ref, llr_d0, llr_s,
-               beta_s, llr2_s, beta2_s, refs_s, pm_s):
+               beta_s, llr2_s, beta2_s, refs_s, pm_s, tbl_s):
         # ---- per-cell init -------------------------------------------
         for r in range(n_rows):
             rows = llr_in_ref[0, :, r, :]                  # [F, CHUNK]
@@ -874,6 +874,34 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
         else:
             select_l = make_select_l_smallest()
             select_flat = make_select_flat() if spc_exact else None
+
+        # ---- loop-invariant oneshot tables, hoisted out of the
+        # schedule loop: pattern bit j of pattern p = (p >> j) & 1
+        # over the [P, 128] candidate grid, plus the popcount parity
+        # of each pattern.  The leaf ops used to rebuild these from an
+        # iota EVERY schedule iteration (~30 wide vector ops per
+        # oneshot leaf); under the instruction-count cost model
+        # (docs/SCL_KERNEL.md §7d) computing them once per cell and
+        # re-reading is strictly cheaper.  Values are identical —
+        # this is a pure hoist, bit-exact by construction.  They are
+        # staged through a VMEM scratch ref (rows 0..6 = bit planes,
+        # row 7 = popcount parity) rather than captured SSA values:
+        # eight [P, 128] values live across a 5k-iteration loop send
+        # the Mosaic compile time through the roof.
+        if spc_exact and not rank_select:
+            pjh = iota2((P, 128), 1).astype(jnp.float32)
+            popc = jnp.zeros((P, 128), jnp.float32)
+            for j in range(7):
+                bit = pjh - 2.0 * jnp.floor(pjh / 2.0)
+                tbl_s[j] = bit
+                popc = popc + bit
+                pjh = jnp.floor(pjh / 2.0)
+            tbl_s[7] = popc - 2.0 * jnp.floor(popc / 2.0)
+            # read back INSIDE the consuming op (not here): a read at
+            # kernel scope would recreate the loop-spanning SSA values
+            hoisted_tables = True
+        else:
+            hoisted_tables = False
 
         # ---- schedule interpreter ------------------------------------
         def body(i, _):
@@ -1182,23 +1210,32 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                                       jnp.where(qc == 11, 32, 64))
                         ).astype(jnp.float32)
                         liveC = qc < 13
+                        subs = jnp.zeros((P, NCC), jnp.float32)
+                        bitsumC = jnp.zeros((P, NCC), jnp.float32)
+                        for j in range(7):
+                            bit = pjC - 2.0 * jnp.floor(pjC / 2.0)
+                            subs = subs + (vals[:, fl0 + j: fl0 + j + 1]
+                                           * bit)
+                            bitsumC = bitsumC + bit
+                            pjC = jnp.floor(pjC / 2.0)
+                        spar = bitsumC - 2.0 * jnp.floor(bitsumC / 2.0)
                     else:
-                        pjC = iota2((P, NCC), 1).astype(jnp.float32)
+                        # hoisted tables (tbl_s scratch, written once
+                        # per cell): only the 7 multiply-accumulates
+                        # remain per leaf
+                        assert hoisted_tables
                         liveC = None
-                    subs = jnp.zeros((P, NCC), jnp.float32)
-                    bitsumC = jnp.zeros((P, NCC), jnp.float32)
-                    for j in range(7):
-                        bit = pjC - 2.0 * jnp.floor(pjC / 2.0)
-                        subs = subs + vals[:, fl0 + j: fl0 + j + 1] * bit
-                        bitsumC = bitsumC + bit
-                        pjC = jnp.floor(pjC / 2.0)
+                        subs = jnp.zeros((P, NCC), jnp.float32)
+                        for j in range(7):
+                            subs = subs + (vals[:, fl0 + j: fl0 + j + 1]
+                                           * tbl_s[j])
+                        spar = tbl_s[7]
                     cand = pm_row().T + subs
                     if spc:
                         negs = jnp.sum(jnp.where(b < 0.0, 1.0, 0.0),
                                        axis=1, keepdims=True)
                         odd = negs - 2.0 * jnp.floor(negs / 2.0)
-                        spar = bitsumC - 2.0 * jnp.floor(
-                            bitsumC / 2.0)         # pattern popcount parity
+                        # spar: pattern popcount parity
                         i0_in = odd + spar - 2.0 * odd * spar  # XOR
                         cand = cand + i0_in * vals[:, 0:1]
                     if liveC is not None:
@@ -1563,6 +1600,8 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                 pltpu.VMEM((max(beta2_rows, 1), P, CHUNK2), beta_dt),
                 pltpu.VMEM((3 * depths, 128), jnp.int32),
                 pltpu.VMEM((1, 128), jnp.float32),
+                # hoisted oneshot tables (pattern bits + popc parity)
+                pltpu.VMEM((8, P, 128), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=112 * 1024 * 1024),
