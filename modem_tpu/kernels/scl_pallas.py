@@ -112,6 +112,14 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
     L = list_size
     F = frames_per_cell
     P = F * L
+    # PW: width of the flat lane tables (refs rows, pm row).  P <= 128
+    # pads up to the full 128-lane tile; F=32 (P=256) runs them at two
+    # lane tiles.  Everything else (perm matmuls, selectors) is sized
+    # by P directly.
+    PW = max(P, 128)
+    assert P <= 256, "lane tables sized for at most two 128-lane tiles"
+    assert not (rank_select and P > 128), \
+        "rank_select sublane rolls assume one 128-lane tile"
     beta_dt = jnp.bfloat16 if beta_bf16 else jnp.float32
     n = sched.code_len
     n_rows = -(-n // CHUNK)
@@ -468,6 +476,17 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
             zero_f = jnp.zeros((F, L), jnp.float32)
             _, at_all, m_all = jax.lax.fori_loop(
                 0, L, body, (candF, zero_f, zero_f))
+            if P > 128:
+                # flat candidate indices reach 2P-1 = 511: NOT
+                # bf16-exact through the to_lane one-hot dots (257+
+                # round on the MXU).  Map the lane part (< P <= 256,
+                # exact) and the keep/flip bit separately.
+                lane_p = jnp.round(
+                    to_lane(at_all - P * jnp.floor(at_all / P))
+                ).astype(jnp.int32)
+                flip = jnp.round(
+                    to_lane(jnp.floor(at_all / P))).astype(jnp.int32)
+                return lane_p, flip, to_lane_val(m_all).T
             at_p = jnp.round(to_lane(at_all)).astype(jnp.int32)
             perm = at_p % P
             flip = jnp.where(at_p >= P, 1, 0)
@@ -786,7 +805,7 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                     jnp.broadcast_to(rows[:, None, :], (F, L, CHUNK)),
                     (P, CHUNK))
         # identity lane maps: lane p sources itself
-        refs_s[:] = jnp.broadcast_to(iota2((1, 128), 1), refs_s.shape)
+        refs_s[:] = jnp.broadcast_to(iota2((1, PW), 1), refs_s.shape)
         # lane l=0 of each frame live; clones die at the first fork
         pm_s[:] = jnp.where((iota2(pm_s.shape, 1) % L) == 0, 0.0,
                             BIG / 2)
@@ -841,19 +860,19 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
         def reset_ref(idx, last):
             @pl.when(last > 0)
             def _():
-                refs_s[pl.ds(idx, 1)] = iota2((1, 128), 1)
+                refs_s[pl.ds(idx, 1)] = iota2((1, PW), 1)
 
         def permute_refs(perm_col):
             """refs[:, p] <- refs[:, perm[p]] (identity beyond lane P)
-            via one [*, 128] x [128, 128] one-hot matmul."""
-            if P == 128:
-                perm128 = perm_col
+            via one [*, PW] x [PW, PW] one-hot matmul.  refs values
+            are lane indices < P <= 256: bf16-exact on the MXU."""
+            if P == PW:
+                permW = perm_col
             else:
-                perm128 = jnp.concatenate(
-                    [perm_col, iota2((128 - P, 1), 0) + P], axis=0)
-            s128 = (iota2((128, 128), 0) == perm128.T).astype(
-                jnp.float32)
-            out = jnp.dot(refs_s[:].astype(jnp.float32), s128,
+                permW = jnp.concatenate(
+                    [perm_col, iota2((PW - P, 1), 0) + P], axis=0)
+            sW = (iota2((PW, PW), 0) == permW.T).astype(jnp.float32)
+            out = jnp.dot(refs_s[:].astype(jnp.float32), sW,
                           preferred_element_type=jnp.float32)
             refs_s[:] = jnp.round(out).astype(jnp.int32)
 
@@ -861,11 +880,11 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
             return pm_s[0:1, :P]                        # [1, P]
 
         def pm_put(row):
-            if P == 128:
+            if P == PW:
                 pm_s[0:1, :] = row
             else:
                 pm_s[0:1, :] = jnp.concatenate(
-                    [row, jnp.full((1, 128 - P), BIG, jnp.float32)],
+                    [row, jnp.full((1, PW - P), BIG, jnp.float32)],
                     axis=1)
 
         if rank_select:
@@ -1582,12 +1601,12 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
             out_specs=[
                 pl.BlockSpec((1, F, L, n_pad), lambda b: (b, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 128), lambda b: (b, 0, 0),
+                pl.BlockSpec((1, 1, PW), lambda b: (b, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((cells, F, L, n_pad), jnp.int8),
-                jax.ShapeDtypeStruct((cells, 1, 128), jnp.float32),
+                jax.ShapeDtypeStruct((cells, 1, PW), jnp.float32),
             ],
             scratch_shapes=[
                 pltpu.VMEM((n_rows if split_d0 else 1, F, CHUNK),
@@ -1598,8 +1617,8 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                 pltpu.VMEM((max(llr2_rows, 1), P, CHUNK2),
                            jnp.float32),
                 pltpu.VMEM((max(beta2_rows, 1), P, CHUNK2), beta_dt),
-                pltpu.VMEM((3 * depths, 128), jnp.int32),
-                pltpu.VMEM((1, 128), jnp.float32),
+                pltpu.VMEM((3 * depths, PW), jnp.int32),
+                pltpu.VMEM((1, PW), jnp.float32),
                 # hoisted oneshot tables (pattern bits + popc parity)
                 pltpu.VMEM((8, P, 128), jnp.float32),
             ],

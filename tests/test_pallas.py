@@ -153,3 +153,20 @@ def test_pallas_exact_mode_oracle_parity(toy_llrs):
         assert np.allclose(np.sort(pm_p[b]), np.sort(pnp),
                            rtol=1e-4, atol=1e-2)
         assert (np.sort(cws_p[b], axis=0) == np.sort(cnp, axis=0)).all()
+
+@pytest.mark.parametrize("exact", [False, True])
+def test_pallas_p256_two_lane_tiles(toy_llrs, exact):
+    """F=32 (P=256: two 128-lane tables, [256, 256] one-hot permutes,
+    flat keep/flip indices up to 511 mapped via the split lane/flip
+    path in make_select_l_smallest) must be BIT-identical to F=1.
+    Guards the P > 128 generalisation."""
+    cw, llrs = toy_llrs
+    llrs32 = np.tile(llrs, (8, 1))               # batch 32
+    base = make_pallas_decoder(TOY.frozen, 8, frames_per_cell=1,
+                               interpret=True, exact=exact)
+    big = make_pallas_decoder(TOY.frozen, 8, frames_per_cell=32,
+                              interpret=True, exact=exact)
+    cb, pb = (np.asarray(v) for v in base(jnp.asarray(llrs32)))
+    cg, pg = (np.asarray(v) for v in big(jnp.asarray(llrs32)))
+    assert np.array_equal(cb, cg)
+    assert np.array_equal(pb, pg)
