@@ -56,6 +56,10 @@ def main():
     classes = {}
     for r in ops16:
         classes.setdefault(int(r[0]), []).append(r)
+    keep = os.environ.get("ABLATE_CLASSES")
+    if keep:
+        want = set(int(x) for x in keep.split(","))
+        classes = {k: v for k, v in classes.items() if k in want}
     print("schedule:", {OPNAMES[k]: len(v)
                         for k, v in sorted(classes.items())})
 
