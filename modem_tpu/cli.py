@@ -10,6 +10,13 @@ decode.cc:562):
 '-' means stdin/stdout for the data files, as in the reference
 (encode.cc:345-346,408-409; decode.cc:570-574).  Validation rules and
 diagnostics match the reference's stderr output where observable.
+
+Beyond the reference binaries, `decode-all` batch-decodes every frame
+of a recording, `freezer` regenerates the polar tables
+(freezer.cc:34-39), and `multipath|cfo|sfo|awgn` reproduce the
+external aicodix/disorders simulation-chain tools the reference README
+pipes through (README.md:42-49) so the full documented workflow runs
+inside this framework.
 """
 
 from __future__ import annotations
@@ -196,6 +203,109 @@ def cmd_decode_all(argv: list[str]) -> int:
     return 1 if bad else 0
 
 
+def _impair_read(input_name: str):
+    """Read a WAV for the impairment tools: complex view + metadata."""
+    if input_name == "-":
+        input_name = "/dev/stdin"
+    data = wav.read_wav(input_name)
+    if data.channels == 2:
+        x = (data.samples[:, 0] + 1j * data.samples[:, 1]).astype(
+            np.complex128)
+    else:
+        x = data.samples[:, 0].astype(np.complex128)
+    return data, x
+
+
+def _impair_write(output_name: str, data, y: np.ndarray) -> int:
+    if output_name == "-":
+        output_name = "/dev/stdout"
+    wav.write_wav(output_name, y.astype(np.complex64), data.rate,
+                  data.bits, data.channels)
+    return 0
+
+
+def _parse_taps(path: str):
+    """Tap profile file: one `delay gain_re [gain_im]` per line
+    (the disorders multipath tool's file-driven taps; README.md:49).
+    '-' or missing selects the built-in assumed demo profile."""
+    from . import channel
+    if path in (None, "-"):
+        return channel.DEFAULT_MULTIPATH
+    taps = []
+    with open(path) as f:
+        for line in f:
+            line = line.split("#")[0].strip()
+            if not line:
+                continue
+            parts = line.split()
+            d = int(parts[0])
+            re = float(parts[1])
+            im = float(parts[2]) if len(parts) > 2 else 0.0
+            taps.append((d, re + 1j * im))
+    if not taps:
+        raise SystemExit("empty tap profile")
+    return tuple(taps)
+
+
+def cmd_multipath(argv: list[str]) -> int:
+    """multipath OUTPUT INPUT [TAPS [FACTOR]] — complex FIR at
+    (delay x FACTOR)-sample offsets (the reference simulation chain's
+    `multipath - - <taps> 10`, README.md:42-49)."""
+    if len(argv) < 2 or len(argv) > 4:
+        print("usage: multipath OUTPUT INPUT [TAPS [FACTOR]]",
+              file=sys.stderr)
+        return 1
+    from . import channel
+    taps = _parse_taps(argv[2] if len(argv) > 2 else None)
+    factor = int(argv[3]) if len(argv) > 3 else 1
+    data, x = _impair_read(argv[1])
+    return _impair_write(argv[0], data,
+                         channel.multipath(x, taps, spread=factor))
+
+
+def cmd_cfo(argv: list[str]) -> int:
+    """cfo OUTPUT INPUT FREQ — carrier frequency offset in Hz
+    (`cfo - - 234.567`, README.md:49)."""
+    if len(argv) != 3:
+        print("usage: cfo OUTPUT INPUT FREQ", file=sys.stderr)
+        return 1
+    from . import channel
+    data, x = _impair_read(argv[1])
+    y = channel.cfo(x, float(argv[2]), data.rate)
+    if data.channels == 1:
+        # a real channel cannot carry a one-sided shift; mirror the
+        # physics by keeping the real projection
+        y = y.real.astype(np.complex128)
+    return _impair_write(argv[0], data, y)
+
+
+def cmd_sfo(argv: list[str]) -> int:
+    """sfo OUTPUT INPUT PPM — sample-clock offset via windowed-sinc
+    resampling (`sfo - - 147`, README.md:49)."""
+    if len(argv) != 3:
+        print("usage: sfo OUTPUT INPUT PPM", file=sys.stderr)
+        return 1
+    from . import channel
+    data, x = _impair_read(argv[1])
+    return _impair_write(argv[0], data, channel.sfo(x, float(argv[2])))
+
+
+def cmd_awgn(argv: list[str]) -> int:
+    """awgn OUTPUT INPUT DB [SEED] — additive white Gaussian noise at
+    DB relative to full scale (`awgn - - -30`, README.md:49; the dB
+    convention is channel.awgn's documented assumption)."""
+    if len(argv) < 3 or len(argv) > 4:
+        print("usage: awgn OUTPUT INPUT DB [SEED]", file=sys.stderr)
+        return 1
+    from . import channel
+    rng = np.random.default_rng(int(argv[3]) if len(argv) > 3 else 0)
+    data, x = _impair_read(argv[1])
+    y = channel.awgn(x, float(argv[2]), rng)
+    if data.channels == 1:
+        y = y.real.astype(np.complex128)
+    return _impair_write(argv[0], data, y)
+
+
 def cmd_freezer(argv: list[str]) -> int:
     """Regenerate the polar frozen-bit tables (freezer.cc:34-39)."""
     import math
@@ -218,8 +328,8 @@ def main(argv=None) -> int:
     apply_env_platform()
     argv = sys.argv[1:] if argv is None else argv
     if not argv:
-        print("usage: modem_tpu.cli {encode|decode|freezer} ...",
-              file=sys.stderr)
+        print("usage: modem_tpu.cli {encode|decode|decode-all|freezer|"
+              "multipath|cfo|sfo|awgn} ...", file=sys.stderr)
         return 1
     cmd, rest = argv[0], argv[1:]
     if cmd == "encode":
@@ -230,6 +340,14 @@ def main(argv=None) -> int:
         return cmd_decode_all(rest)
     if cmd == "freezer":
         return cmd_freezer(rest)
+    if cmd == "multipath":
+        return cmd_multipath(rest)
+    if cmd == "cfo":
+        return cmd_cfo(rest)
+    if cmd == "sfo":
+        return cmd_sfo(rest)
+    if cmd == "awgn":
+        return cmd_awgn(rest)
     print(f"unknown command {cmd}", file=sys.stderr)
     return 1
 

@@ -76,3 +76,61 @@ def test_cli_decode_all_two_frames(tmp_path):
     assert main(["decode-all", prefix, wavf]) == 0
     assert (tmp_path / "out.000").read_bytes() == p1
     assert (tmp_path / "out.001").read_bytes() == p2
+
+def test_cli_impair_tools_match_library(tmp_path):
+    """Each simulation-chain subcommand (multipath/cfo/sfo/awgn —
+    README.md:42-49's disorders pipeline) must apply exactly the
+    channel.py impairment to the WAV samples, up to requantization."""
+    from modem_tpu import channel, wav
+
+    rng = np.random.default_rng(3)
+    x = (0.4 * rng.standard_normal(4000)
+         + 0.4j * rng.standard_normal(4000)).astype(np.complex64)
+    src = str(tmp_path / "src.wav")
+    wav.write_wav(src, x, 8000, 16, 2)
+    got = wav.read_wav(src)
+    xq = got.samples[:, 0] + 1j * got.samples[:, 1]
+    q = 2.0 / 65535  # one 16-bit LSB
+
+    def run(args, expect):
+        out = str(tmp_path / "out.wav")
+        assert main([args[0], out, src] + args[1:]) == 0
+        back = wav.read_wav(out)
+        y = back.samples[:, 0] + 1j * back.samples[:, 1]
+        n = min(len(y), len(expect))
+        clipped = np.clip(expect[:n].real, -1, 1) + 1j * np.clip(
+            expect[:n].imag, -1, 1)
+        assert np.abs(y[:n] - clipped).max() < 2 * q
+
+    run(["cfo", "234.567"], channel.cfo(xq, 234.567, 8000))
+    run(["sfo", "147"], channel.sfo(xq, 147.0))
+    run(["awgn", "-30", "7"],
+        channel.awgn(xq, -30.0, np.random.default_rng(7)))
+    run(["multipath", "-", "10"],
+        channel.multipath(xq, spread=10))
+
+    # file-driven taps (the disorders tool's profile format)
+    taps = tmp_path / "taps.txt"
+    taps.write_text("0 1.0 0.0\n3 -0.4 0.25\n")
+    run(["multipath", str(taps), "2"],
+        channel.multipath(xq, ((0, 1.0), (3, -0.4 + 0.25j)), spread=2))
+
+
+def test_cli_simulation_chain_loopback(tmp_path):
+    """The reference README's full documented workflow (README.md:42-49)
+    run entirely through this framework's CLI: encode | multipath x10 |
+    cfo 234.567 | sfo 147 | awgn -30 | decode, byte-exact."""
+    rng = np.random.default_rng(5)
+    payload = rng.integers(0, 256, 5380, dtype=np.uint8).tobytes()
+    inp = tmp_path / "in.dat"
+    inp.write_bytes(payload)
+    w = [str(tmp_path / f"s{i}.wav") for i in range(5)]
+    dec = tmp_path / "out.dat"
+    assert main(["encode", w[0], "8000", "16", "2", "2000", "6",
+                 "N0CALL", str(inp)]) == 0
+    assert main(["multipath", w[1], w[0], "-", "10"]) == 0
+    assert main(["cfo", w[2], w[1], "234.567"]) == 0
+    assert main(["sfo", w[3], w[2], "147"]) == 0
+    assert main(["awgn", w[4], w[3], "-30"]) == 0
+    assert main(["decode", str(dec), w[4]]) == 0
+    assert dec.read_bytes() == payload
