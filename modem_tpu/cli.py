@@ -203,6 +203,111 @@ def cmd_decode_all(argv: list[str]) -> int:
     return 1 if bad else 0
 
 
+def cmd_decode_stream(argv: list[str]) -> int:
+    """decode-stream OUTPUT_PREFIX [INPUT] — live decoding from a pipe.
+
+    Reads a WAV stream incrementally (stdin by default: the reference's
+    `arecord -f S16_LE | decode` workflow, decode.cc:294-301 reads one
+    sample at a time) and emits each frame's payload file the moment
+    its last payload sample arrives — no waiting for EOF.  Frames print
+    to stderr as in decode-all."""
+    if len(argv) < 1 or len(argv) > 2:
+        print("usage: decode-stream OUTPUT_PREFIX [INPUT]",
+              file=sys.stderr)
+        return 1
+    prefix = argv[0]
+    input_name = argv[1] if len(argv) > 1 else "-"
+    f = sys.stdin.buffer if input_name == "-" else open(input_name, "rb")
+
+    def read_exact(n):
+        buf = b""
+        while len(buf) < n:
+            got = f.read(n - len(buf))
+            if not got:
+                break
+            buf += got
+        return buf
+
+    # incremental RIFF parse (wav.hh: PCM 8/16-bit LE, 1-2 channels)
+    head = read_exact(12)
+    if head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+        print("not a WAV stream", file=sys.stderr)
+        return 1
+    channels = rate = bits = None
+    while True:
+        hdr = read_exact(8)
+        if len(hdr) < 8:
+            print("no data chunk in WAV stream", file=sys.stderr)
+            return 1
+        cid = hdr[:4]
+        size = int.from_bytes(hdr[4:8], "little")
+        if cid == b"fmt ":
+            fmt = read_exact(size)
+            channels = int.from_bytes(fmt[2:4], "little")
+            rate = int.from_bytes(fmt[4:8], "little")
+            bits = int.from_bytes(fmt[14:16], "little")
+        elif cid == b"data":
+            break
+        else:
+            read_exact(size)
+    if channels not in (1, 2):
+        print("Only real or analytic signal (one or two channels) "
+              "supported.", file=sys.stderr)
+        return 1
+    from .stream import StreamDecoder
+    try:
+        sd = StreamDecoder(rate, channels=channels, bits=bits)
+    except ValueError:
+        print("Unsupported sample rate.", file=sys.stderr)
+        return 1
+
+    dt = np.dtype("<i2") if bits == 16 else np.uint8
+    block = channels * dt.itemsize
+    n_done = 0
+    bad = 0
+    rem = b""
+
+    def emit(frames):
+        nonlocal n_done, bad
+        for fr in frames:
+            i = n_done
+            n_done += 1
+            if fr["mode"] is None:
+                print(f"frame {i}: pos {fr['pos']} header rejected: "
+                      f"{fr['status']}", file=sys.stderr)
+                bad += 1
+                continue
+            print(f"frame {i}: pos {fr['pos']} mode {fr['mode']} "
+                  f"call sign {fr['call_sign']} "
+                  f"{'ok' if fr['ok'] else 'FAILED'} "
+                  f"flips {fr['flips']}", file=sys.stderr)
+            if fr["ok"]:
+                with open(f"{prefix}.{i:03d}", "wb") as out:
+                    out.write(fr["payload"])
+            else:
+                bad += 1
+
+    while True:
+        raw = rem + f.read(rate * block)   # ~1 s of audio per feed
+        if not raw:
+            break
+        keep = len(raw) - len(raw) % block
+        rem = raw[keep:]
+        if not keep:
+            break
+        flat = np.frombuffer(raw[:keep], dtype=dt)
+        samples = (flat if channels == 1
+                   else flat.reshape(-1, 2))
+        emit(sd.feed(samples))
+    emit(sd.finish())
+    if input_name != "-":
+        f.close()
+    if n_done == 0:
+        print("no frames found", file=sys.stderr)
+        return 1
+    return 1 if bad else 0
+
+
 def _impair_read(input_name: str):
     """Read a WAV for the impairment tools: complex view + metadata."""
     if input_name == "-":
@@ -328,8 +433,9 @@ def main(argv=None) -> int:
     apply_env_platform()
     argv = sys.argv[1:] if argv is None else argv
     if not argv:
-        print("usage: modem_tpu.cli {encode|decode|decode-all|freezer|"
-              "multipath|cfo|sfo|awgn} ...", file=sys.stderr)
+        print("usage: modem_tpu.cli {encode|decode|decode-all|"
+              "decode-stream|freezer|multipath|cfo|sfo|awgn} ...",
+              file=sys.stderr)
         return 1
     cmd, rest = argv[0], argv[1:]
     if cmd == "encode":
@@ -338,6 +444,8 @@ def main(argv=None) -> int:
         return cmd_decode(rest)
     if cmd == "decode-all":
         return cmd_decode_all(rest)
+    if cmd == "decode-stream":
+        return cmd_decode_stream(rest)
     if cmd == "freezer":
         return cmd_freezer(rest)
     if cmd == "multipath":

@@ -1,0 +1,93 @@
+"""Streaming (live) decode: parity with the batch auto-decoder and the
+live-emission property.
+
+The reference decodes live audio from a pipe sample-by-sample
+(decode.cc:294-301); modem_tpu.stream.StreamDecoder is the chunked
+TPU-native analog.  Frames fed incrementally must match
+pipeline.decode_recording_auto on the full recording, emit BEFORE the
+stream ends, and hold only a bounded buffer.
+"""
+
+import numpy as np
+import pytest
+
+from modem_tpu import bits as B
+from modem_tpu import cplx
+from modem_tpu.encoder import Encoder
+from modem_tpu.ingest import PcmRecording
+from modem_tpu.numerology import make_config
+from modem_tpu.pipeline import decode_recording_auto
+from modem_tpu.stream import StreamDecoder
+
+
+@pytest.fixture(scope="module")
+def two_frame_rec():
+    rng = np.random.default_rng(31)
+    payloads = [rng.integers(0, 256, 5380, dtype=np.uint8).tobytes()
+                for _ in range(2)]
+    cfg = make_config(8000, 10, 2300)
+    wave, _ = Encoder(cfg).encode(payloads, B.base37_encode("AB1CDE"))
+    rec = np.concatenate([np.zeros(8000, np.complex64), wave,
+                          np.zeros(8000, np.complex64)])
+    return rec, payloads
+
+
+def _key(frames):
+    return [(f["pos"], f["mode"], f["ok"], f["payload"]) for f in frames]
+
+
+def test_stream_float_matches_batch(two_frame_rec):
+    rec, payloads = two_frame_rec
+    x = cplx.from_np(rec).astype(np.float32)
+    ref = decode_recording_auto(x.copy(), 8000, channels=2)
+    sd = StreamDecoder(8000, channels=2, bits=None)
+    got, first_emit = [], None
+    i = 0
+    while i < len(x):
+        out = sd.feed(x[i: i + 7001])
+        if out and first_emit is None:
+            first_emit = i + 7001
+        got += out
+        i += 7001
+    got += sd.finish()
+    assert _key(sorted(got, key=lambda f: f["pos"])) == _key(ref)
+    assert [f["payload"] for f in got if f["ok"]] == payloads
+    # live property: frame 0 emitted well before the stream ended
+    assert first_emit is not None and first_emit < len(x) - 8000
+
+
+def test_stream_mono_int16_matches_batch(two_frame_rec):
+    rec, payloads = two_frame_rec
+    mono = np.clip(np.rint(rec.real * 32767), -32768,
+                   32767).astype(np.int16)
+    pcm = PcmRecording(data=mono, bits=16, rate=8000)
+    ref = decode_recording_auto(pcm, 8000, channels=1)
+    sd = StreamDecoder(8000, channels=1, bits=16)
+    got = []
+    i = 0
+    while i < len(mono):
+        got += sd.feed(mono[i: i + 9000])
+        i += 9000
+    got += sd.finish()
+    assert _key(sorted(got, key=lambda f: f["pos"])) == _key(ref)
+    assert [f["payload"] for f in got if f["ok"]] == payloads
+    # retirement keeps the analytic buffer bounded (frame span + lead,
+    # far below the ~42 s recording)
+    assert len(sd._an) < 80_000
+
+
+def test_stream_rejects_float_mono():
+    with pytest.raises(ValueError):
+        StreamDecoder(8000, channels=1, bits=None)
+
+
+def test_cli_decode_stream(two_frame_rec, tmp_path):
+    from modem_tpu import wav
+    from modem_tpu.cli import main
+    rec, payloads = two_frame_rec
+    wavf = str(tmp_path / "s.wav")
+    wav.write_wav(wavf, rec.astype(np.complex64), 8000, 16, 2)
+    prefix = str(tmp_path / "live")
+    assert main(["decode-stream", prefix, wavf]) == 0
+    assert (tmp_path / "live.000").read_bytes() == payloads[0]
+    assert (tmp_path / "live.001").read_bytes() == payloads[1]
