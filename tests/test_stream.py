@@ -91,3 +91,35 @@ def test_cli_decode_stream(two_frame_rec, tmp_path):
     assert main(["decode-stream", prefix, wavf]) == 0
     assert (tmp_path / "live.000").read_bytes() == payloads[0]
     assert (tmp_path / "live.001").read_bytes() == payloads[1]
+
+def test_stream_stereo_int16_and_mono_uint8(two_frame_rec):
+    """The two remaining wire input paths: stereo int16 (on-device
+    dequant, no Hilbert) and mono uint8 (128-offset silence fill)."""
+    rec, payloads = two_frame_rec
+    st = np.stack([rec.real, rec.imag], 1)
+    sti = np.clip(np.rint(st * 32767), -32768, 32767).astype(np.int16)
+    pcm = PcmRecording(data=sti, bits=16, rate=8000)
+    ref = decode_recording_auto(pcm, 8000, channels=2)
+    sd = StreamDecoder(8000, channels=2, bits=16)
+    got = []
+    i = 0
+    while i < len(sti):
+        got += sd.feed(sti[i: i + 9000])
+        i += 9000
+    got += sd.finish()
+    assert _key(sorted(got, key=lambda f: f["pos"])) == _key(ref)
+    assert [f["payload"] for f in got if f["ok"]] == payloads
+
+    m8 = (np.clip(np.rint(rec.real * 127), -128, 127)
+          + 128).astype(np.uint8)
+    pcm8 = PcmRecording(data=m8, bits=8, rate=8000)
+    ref8 = decode_recording_auto(pcm8, 8000, channels=1)
+    sd = StreamDecoder(8000, channels=1, bits=8)
+    got8 = []
+    i = 0
+    while i < len(m8):
+        got8 += sd.feed(m8[i: i + 9000])
+        i += 9000
+    got8 += sd.finish()
+    assert _key(sorted(got8, key=lambda f: f["pos"])) == _key(ref8)
+    assert [f["payload"] for f in got8 if f["ok"]] == payloads
