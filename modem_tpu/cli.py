@@ -233,7 +233,7 @@ def cmd_decode_stream(argv: list[str]) -> int:
     if head[:4] != b"RIFF" or head[8:12] != b"WAVE":
         print("not a WAV stream", file=sys.stderr)
         return 1
-    channels = rate = bits = None
+    channels = rate = bits = audio_fmt = None
     while True:
         hdr = read_exact(8)
         if len(hdr) < 8:
@@ -243,6 +243,7 @@ def cmd_decode_stream(argv: list[str]) -> int:
         size = int.from_bytes(hdr[4:8], "little")
         if cid == b"fmt ":
             fmt = read_exact(size)
+            audio_fmt = int.from_bytes(fmt[0:2], "little")
             channels = int.from_bytes(fmt[2:4], "little")
             rate = int.from_bytes(fmt[4:8], "little")
             bits = int.from_bytes(fmt[14:16], "little")
@@ -250,6 +251,11 @@ def cmd_decode_stream(argv: list[str]) -> int:
             break
         else:
             read_exact(size)
+        if size % 2:            # RIFF chunks pad to even offsets
+            read_exact(1)
+    if audio_fmt != 1 or bits not in (8, 16):
+        print("Only 8/16-bit integer PCM supported.", file=sys.stderr)
+        return 1
     if channels not in (1, 2):
         print("Only real or analytic signal (one or two channels) "
               "supported.", file=sys.stderr)

@@ -47,7 +47,7 @@ import numpy as np
 
 from . import bits as B
 from . import cplx
-from .sync import _BLK, SyncCandidate
+from .sync import _BLK
 
 
 def _silence(bits) -> int:
@@ -67,7 +67,13 @@ class StreamDecoder:
             ...
     """
 
-    EDGES_PER_CHUNK = 8
+    # per-chunk falling-edge cap.  The batch path keeps 4*max_frames
+    # (= 256 by default) edges per 2^17-sample chunk; 32 per
+    # 8192-sample chunk is twice that density, so spurious noise
+    # edges cannot consume slots ahead of a real preamble any earlier
+    # than they would offline (sync.scan's documented per-chunk cap
+    # caveat applies equally here).
+    EDGES_PER_CHUNK = 32
 
     def __init__(self, rate: int, channels: int = 2, bits=16,
                  chunk_samples: int = 8192):
@@ -213,13 +219,7 @@ class StreamDecoder:
         return out
 
     def _events_from(self, raw_events) -> None:
-        L, cfg = self.L, self.cfg
-        md = self.sync.match_del
-        for edge, n_max, ph in raw_events:
-            index_max = min(edge - 1 - n_max + md,
-                            L + cfg.guard_len + md)
-            p0 = (edge - 1) - index_max
-            self._events.append((p0, ph / L))
+        self._events.extend(self.sync.assemble_events(raw_events))
 
     def _an_end(self) -> int:
         """Absolute end of analytic coverage (canonical + final tail)."""
@@ -239,22 +239,9 @@ class StreamDecoder:
         self._events = [e for e in self._events if e not in ready]
         wins = np.stack([self._an_slice(p + self.L, self.L)
                          for p, _ in ready])
-        fcs = np.asarray([fc for _, fc in ready], np.float32)
-        shift, pos_err, peak, nxt, _ = (
-            np.asarray(v)
-            for v in self.sync._fine_jit(jnp.asarray(wins),
-                                         jnp.asarray(fcs)))
-        for i, (p0, fc) in enumerate(ready):
-            ok = bool(peak[i] > 4.0 * nxt[i]) and \
-                bool(abs(int(pos_err[i])) <= self.cfg.guard_len // 2)
-            cfo = float(shift[i]) * 2.0 * np.pi / self.L - fc
-            if cfo >= np.pi:
-                cfo -= 2.0 * np.pi
-            if ok:      # auto-mode semantics: not-ok candidates drop
-                self._cands.append(SyncCandidate(
-                    p0=int(p0) - int(pos_err[i]), frac_cfo=fc,
-                    cfo_rad=cfo, ok=True,
-                    peak_ratio=float(peak[i] / max(nxt[i], 1e-30))))
+        # auto-mode semantics: not-ok candidates drop
+        self._cands.extend(c for c in self.sync.fine_candidates(
+            wins, ready) if c.ok)
 
     def _decode_headers(self, emitted: list) -> None:
         s, g = self.cfg.symbol_len, self.cfg.guard_len

@@ -654,12 +654,7 @@ class Synchronizer:
                 raw.append((int(edge), n_max,
                             float(phase[max(n_max - self.match_del, 0)])))
 
-        events = []
-        for edge, n_max, ph in raw:
-            index_max = min(edge - 1 - n_max + self.match_del,
-                            L + cfg.guard_len + self.match_del)
-            p0 = (edge - 1) - index_max   # == n_max - match_del if uncapped
-            events.append((p0, ph / L))
+        events = self.assemble_events(raw)
         if not events:
             return []
 
@@ -668,11 +663,42 @@ class Synchronizer:
         else:
             wins = jnp.asarray(
                 np.stack([self._window(x, p) for p, _ in events]))
-        fcs = np.array([fc for _, fc in events], dtype=np.float32)
+        cands = self.fine_candidates(wins, events)
+        out = []
+        for c in cands:
+            out.append(c)
+            if sum(x.ok for x in out) >= max_candidates:
+                break
+        return out
+
+    def assemble_events(self, raw) -> list:
+        """(edge, n_max, phase) triples -> (p0, frac_cfo) events: the
+        peak-to-symbol-start mapping with the collect-region cap
+        (decode.cc:99-114).  Shared by scan() and the streaming
+        decoder (stream.StreamDecoder) so the live and batch paths
+        cannot drift."""
+        L, cfg = self.L, self.cfg
+        events = []
+        for edge, n_max, ph in raw:
+            index_max = min(edge - 1 - n_max + self.match_del,
+                            L + cfg.guard_len + self.match_del)
+            p0 = (edge - 1) - index_max  # == n_max - match_del uncapped
+            events.append((p0, ph / L))
+        return events
+
+    def fine_candidates(self, wins, events) -> list:
+        """Fine timing / integer-CFO stage + the reference's gates
+        (peak > 4*next, |pos_err| <= guard/2; decode.cc:110-146) for
+        pre-sliced windows wins[i] = x[p0_i + L : p0_i + 2L].  Returns
+        one SyncCandidate per event, ok flag set.  Shared by scan()
+        and stream.StreamDecoder."""
+        L, cfg = self.L, self.cfg
         shift, pos_err, peak, nxt, _ = (
             np.asarray(v)
-            for v in self._fine_jit(wins, jnp.asarray(fcs)))
-
+            for v in self._fine_jit(
+                jnp.asarray(wins),
+                jnp.asarray(np.array([fc for _, fc in events],
+                                     dtype=np.float32))))
         out = []
         for i, (p0, fc) in enumerate(events):
             ok = bool(peak[i] > 4.0 * nxt[i]) and \
@@ -683,8 +709,6 @@ class Synchronizer:
             out.append(SyncCandidate(
                 p0=int(p0) - int(pos_err[i]), frac_cfo=fc, cfo_rad=cfo,
                 ok=ok, peak_ratio=float(peak[i] / max(nxt[i], 1e-30))))
-            if sum(c.ok for c in out) >= max_candidates:
-                break
         return out
 
     def _pcm_windows(self, pcm, starts, out_len: int):

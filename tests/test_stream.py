@@ -123,3 +123,29 @@ def test_stream_stereo_int16_and_mono_uint8(two_frame_rec):
     got8 += sd.finish()
     assert _key(sorted(got8, key=lambda f: f["pos"])) == _key(ref8)
     assert [f["payload"] for f in got8 if f["ok"]] == payloads
+
+def test_cli_decode_stream_riff_quirks(two_frame_rec, tmp_path):
+    """Odd-sized pre-data RIFF chunks are pad-aligned (RIFF word
+    alignment); non-PCM / deep bit depths are rejected cleanly."""
+    from modem_tpu import wav
+    from modem_tpu.cli import main
+    rec, payloads = two_frame_rec
+    wavf = tmp_path / "s.wav"
+    wav.write_wav(str(wavf), rec.astype(np.complex64), 8000, 16, 2)
+    raw = wavf.read_bytes()
+    # inject an odd-length junk chunk between fmt and data
+    di = raw.index(b"data")
+    junk = b"note" + (5).to_bytes(4, "little") + b"hello" + b"\x00"
+    patched = tmp_path / "p.wav"
+    patched.write_bytes(raw[:di] + junk + raw[di:])
+    prefix = str(tmp_path / "q")
+    assert main(["decode-stream", prefix, str(patched)]) == 0
+    assert (tmp_path / "q.000").read_bytes() == payloads[0]
+
+    # IEEE-float format tag must be rejected, not parsed as uint8
+    bad = bytearray(raw)
+    fi = raw.index(b"fmt ")
+    bad[fi + 8: fi + 10] = (3).to_bytes(2, "little")
+    badf = tmp_path / "f.wav"
+    badf.write_bytes(bytes(bad))
+    assert main(["decode-stream", prefix, str(badf)]) == 1
