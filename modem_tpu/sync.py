@@ -546,18 +546,47 @@ class Synchronizer:
             pending.append((edges, nmax, ph, n0s))
             g0 += m
         analytic = self._assemble_keep(keeps, c) if keeps else None
-        # Phase 2 — fetch in time order, stop once enough edges
+        # Phase 2 — ONE packed fetch for every call's event triples
+        # (per-array fetches were one tunnel round trip EACH: 3 arrays
+        # x calls; the packed [chunks, 3, k] int32 block is a single
+        # round trip, with the float phases bitcast through int32)
+        packed = np.asarray(self._pack_events(pending))
+        n0s_all = np.concatenate([p[3] for p in pending])
         events = []
-        for edges, nmax, ph, n0s in pending:
-            edges, nmax, ph = (np.asarray(v) for v in (edges, nmax, ph))
-            for j in range(len(n0s)):
-                for e, nm, p_ in zip(edges[j], nmax[j], ph[j]):
-                    if e < 0 or n0s[j] + e >= n_out:
-                        continue             # fill slot / padded tail
-                    events.append((int(n0s[j] + e), int(nm), float(p_)))
+        for j in range(len(n0s_all)):
             if len(events) >= max_edges:
                 break
+            phs = packed[j, 2].view(np.float32)
+            for i, e in enumerate(packed[j, 0]):
+                if e < 0 or n0s_all[j] + e >= n_out:
+                    continue                 # fill slot / padded tail
+                events.append((int(n0s_all[j] + e),
+                               int(packed[j, 1, i]), float(phs[i])))
         return events[:max_edges], analytic
+
+    def _pack_events(self, pending):
+        """Stack every super-batch call's (edges, nmax, phase) into one
+        [total_chunks, 3, k] int32 device array so phase 2 costs ONE
+        host fetch (shapes differ only in m; one jit per ladder
+        combination)."""
+        key = ("pack", tuple(p[0].shape for p in pending))
+        fn = self._chunk_fns.get(key)
+        if fn is None:
+            def pack(*flat):
+                outs = []
+                for i in range(0, len(flat), 3):
+                    e, nm, ph = flat[i: i + 3]
+                    outs.append(jnp.stack(
+                        [e, nm,
+                         jax.lax.bitcast_convert_type(ph, jnp.int32)],
+                        axis=1))
+                return jnp.concatenate(outs, 0)
+            fn = jax.jit(pack)
+            self._chunk_fns[key] = fn
+        flat = []
+        for e, nm, ph, _ in pending:
+            flat += [e, nm, ph]
+        return fn(*flat)
 
     def _assemble_keep(self, keeps, c: int):
         """Concatenate per-call retained chunks [m_i, c + 2L, 2] into
