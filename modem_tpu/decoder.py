@@ -177,7 +177,12 @@ class Decoder:
         if fn is None:
             def run(wins, cfos):
                 soft = jax.vmap(self._header_soft)(wins, cfos)
-                return jax.vmap(lambda s_: osd_decode(s_))(soft)
+                data, unique = jax.vmap(lambda s_: osd_decode(s_))(soft)
+                # pack (unique, data) into ONE int32 block: a device
+                # read is one tunnel round trip regardless of size
+                return jnp.concatenate(
+                    [unique.astype(jnp.int32)[:, None],
+                     data.astype(jnp.int32)], axis=1)
             fn = jax.jit(run)
             self._payload_cache[("headers", batch)] = fn
         return fn
@@ -223,10 +228,10 @@ class Decoder:
             for i in range(nc):
                 if in_range[i]:
                     wins[i] = x[starts[i]: starts[i] + s]
-        data, unique = self._headers_batch_jit(pad)(
-            jnp.asarray(wins), jnp.asarray(cfos))
-        data = np.asarray(data)
-        unique = np.asarray(unique)
+        packed = np.asarray(self._headers_batch_jit(pad)(
+            jnp.asarray(wins), jnp.asarray(cfos)))   # ONE fetch
+        unique = packed[:, 0] != 0
+        data = packed[:, 1:]
         out = []
         for i in range(nc):
             if not in_range[i]:

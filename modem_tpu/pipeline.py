@@ -356,6 +356,41 @@ class BatchPipeline:
         bits = np.asarray(result["bits"][i])
         return B.scramble(B.bits_to_bytes_le(bits))
 
+    def fetch(self, res) -> dict:
+        """Fetch a decode_batch/decode_windows result dict to host
+        numpy in TWO tunnel round trips instead of one per array: the
+        per-frame scalars (ok, flips, p0, sync_gate, cfo_rad) and the
+        per-row snr pack into one int32 block on device (floats
+        bitcast), bits ride alone (they are the bulk payload).  A
+        device read costs one ~100 ms tunnel round trip regardless of
+        size (docs/PERFORMANCE.md), so the 7-key dict was 7 round
+        trips."""
+        packed = np.asarray(_pack_results(
+            res["ok"], res["flips"], res["p0"], res["sync_gate"],
+            res["cfo_rad"], res["snr"]))
+        bits = np.asarray(res["bits"])
+        return dict(
+            ok=packed[:, 0].astype(bool),
+            flips=packed[:, 1].copy(),
+            p0=packed[:, 2].copy(),
+            sync_gate=packed[:, 3].astype(bool),
+            cfo_rad=np.ascontiguousarray(packed[:, 4]).view(np.float32),
+            snr=np.ascontiguousarray(packed[:, 5:]).view(np.float32),
+            bits=bits)
+
+
+@jax.jit
+def _pack_results(ok, flips, p0, sync_gate, cfo, snr):
+    cols = [ok.astype(jnp.int32)[:, None],
+            flips.astype(jnp.int32)[:, None],
+            p0.astype(jnp.int32)[:, None],
+            sync_gate.astype(jnp.int32)[:, None],
+            jax.lax.bitcast_convert_type(
+                cfo.astype(jnp.float32), jnp.int32)[:, None],
+            jax.lax.bitcast_convert_type(
+                snr.astype(jnp.float32), jnp.int32)]
+    return jnp.concatenate(cols, axis=1)
+
 
 @functools.lru_cache(maxsize=None)
 def cached_pipeline(rate: int, oper_mode: int,
@@ -415,11 +450,10 @@ def decode_recording_auto(x, rate: int, channels: int = 2,
     for m, idxs in by_mode.items():
         pipe = cached_pipeline(rate, m)
         wins, _ = pipe.windows_at(x, [frames[i][0] for i in idxs])
-        res = pipe.decode_windows(wins)
-        # fetch each result array ONCE per group: per-frame device
-        # reads are one tunnel round trip each (measured ~2.4 s of a
-        # 3.7 s decode-all pass before this)
-        res = {k: np.asarray(v) for k, v in res.items()}
+        # two round trips per group: packed scalars + bits (per-frame
+        # device reads were one tunnel round trip each — measured
+        # ~2.4 s of a 3.7 s decode-all pass before batching them)
+        res = pipe.fetch(pipe.decode_windows(wins))
         for j, i in enumerate(idxs):
             results[i] = (pipe, res, j)
     for i, (p0, m, call) in enumerate(frames):

@@ -287,8 +287,7 @@ class StreamDecoder:
         for mode, fs in by_mode.items():
             pipe = cached_pipeline(self.rate, mode)
             wins, _ = pipe.windows_at(view, [f[0].p0 - lo for f in fs])
-            res = pipe.decode_windows(wins)
-            res = {k: np.asarray(v) for k, v in res.items()}
+            res = pipe.fetch(pipe.decode_windows(wins))
             for j, (c, _m, call) in enumerate(fs):
                 ok = bool(res["ok"][j])
                 emitted.append(dict(
