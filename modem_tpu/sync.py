@@ -189,6 +189,20 @@ class Synchronizer:
 
         self._metrics_jit = jax.jit(self._metrics)
         self._fine_jit = jax.jit(jax.vmap(self._fine_stage))
+
+        def fine_packed(wins, fcs):
+            # pack the fine stage's per-candidate outputs into one
+            # int32 block (floats bitcast): a device read is one
+            # tunnel round trip regardless of size
+            shift, pos_err, peak, nxt, _ = jax.vmap(
+                self._fine_stage)(wins, fcs)
+            bc = lambda v: jax.lax.bitcast_convert_type(
+                v.astype(jnp.float32), jnp.int32)
+            return jnp.stack(
+                [shift.astype(jnp.int32), pos_err.astype(jnp.int32),
+                 bc(peak), bc(nxt)], axis=1)
+
+        self._fine_packed_jit = jax.jit(fine_packed)
         self._chunk_fns: dict[tuple, object] = {}
         self._extract_fns: dict[tuple, object] = {}
         self._pcm_win_fns: dict[tuple, object] = {}
@@ -722,12 +736,14 @@ class Synchronizer:
         one SyncCandidate per event, ok flag set.  Shared by scan()
         and stream.StreamDecoder."""
         L, cfg = self.L, self.cfg
-        shift, pos_err, peak, nxt, _ = (
-            np.asarray(v)
-            for v in self._fine_jit(
-                jnp.asarray(wins),
-                jnp.asarray(np.array([fc for _, fc in events],
-                                     dtype=np.float32))))
+        packed = np.asarray(self._fine_packed_jit(
+            jnp.asarray(wins),
+            jnp.asarray(np.array([fc for _, fc in events],
+                                 dtype=np.float32))))   # ONE fetch
+        shift = packed[:, 0]
+        pos_err = packed[:, 1]
+        peak = np.ascontiguousarray(packed[:, 2]).view(np.float32)
+        nxt = np.ascontiguousarray(packed[:, 3]).view(np.float32)
         out = []
         for i, (p0, fc) in enumerate(events):
             ok = bool(peak[i] > 4.0 * nxt[i]) and \
