@@ -149,3 +149,34 @@ def test_cli_decode_stream_riff_quirks(two_frame_rec, tmp_path):
     badf = tmp_path / "f.wav"
     badf.write_bytes(bytes(bad))
     assert main(["decode-stream", prefix, str(badf)]) == 1
+
+def test_stream_mixed_modes():
+    """Two frames of DIFFERENT modes in one stream: each frame's mode
+    comes from its own header and the payload stage groups per mode
+    (the stream analog of decode_recording_auto's mixed-mode path)."""
+    from modem_tpu.numerology import make_config as mk
+    rng = np.random.default_rng(9)
+    waves, payloads = [], []
+    for mode, call in ((10, "AB1CDE"), (12, "N0CALL")):
+        cfg = mk(8000, mode, 2000)
+        p = rng.integers(0, 256, cfg.mode.data_bytes,
+                         dtype=np.uint8).tobytes()
+        wave, _ = Encoder(cfg).encode(p, B.base37_encode(call))
+        waves.append(wave)
+        payloads.append(p)
+    gap = np.zeros(2000, dtype=np.complex64)
+    rec = np.concatenate([gap, waves[0], gap, waves[1], gap])
+    ref = decode_recording_auto(rec.copy(), 8000)
+    x = cplx.from_np(rec).astype(np.float32)
+    sd = StreamDecoder(8000, channels=2, bits=None)
+    got = []
+    i = 0
+    while i < len(x):
+        got += sd.feed(x[i: i + 8192])
+        i += 8192
+    got += sd.finish()
+    got.sort(key=lambda f: f["pos"])
+    assert _key(got) == _key(ref)
+    assert [f["mode"] for f in got] == [10, 12]
+    assert [f["call_sign"] for f in got] == ["AB1CDE", "N0CALL"]
+    assert [f["payload"] for f in got] == payloads
