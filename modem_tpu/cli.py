@@ -184,23 +184,28 @@ def cmd_decode_all(argv: list[str]) -> int:
         return 1
     bad = 0
     for i, f in enumerate(frames):
-        if f["mode"] is None:
-            # preamble whose header was rejected — report WHY (the
-            # reference's per-attempt stderr text, decode.cc:417-446)
-            print(f"frame {i}: pos {f['pos']} header rejected: "
-                  f"{f['status']}", file=sys.stderr)
-            bad += 1
-            continue
-        print(f"frame {i}: pos {f['pos']} mode {f['mode']} "
-              f"call sign {f['call_sign']} "
-              f"{'ok' if f['ok'] else 'FAILED'} flips {f['flips']}",
-              file=sys.stderr)
-        if f["ok"]:
-            with open(f"{prefix}.{i:03d}", "wb") as out:
-                out.write(f["payload"])
-        else:
-            bad += 1
+        bad += _emit_frame(prefix, i, f)
     return 1 if bad else 0
+
+
+def _emit_frame(prefix: str, i: int, f: dict) -> int:
+    """Report one auto-decoded frame on stderr (reference rejection
+    texts, decode.cc:417-446) and write its payload file; returns 1
+    if the frame failed."""
+    if f["mode"] is None:
+        # preamble whose header was rejected — report WHY
+        print(f"frame {i}: pos {f['pos']} header rejected: "
+              f"{f['status']}", file=sys.stderr)
+        return 1
+    print(f"frame {i}: pos {f['pos']} mode {f['mode']} "
+          f"call sign {f['call_sign']} "
+          f"{'ok' if f['ok'] else 'FAILED'} flips {f['flips']}",
+          file=sys.stderr)
+    if not f["ok"]:
+        return 1
+    with open(f"{prefix}.{i:03d}", "wb") as out:
+        out.write(f["payload"])
+    return 0
 
 
 def cmd_decode_stream(argv: list[str]) -> int:
@@ -276,22 +281,8 @@ def cmd_decode_stream(argv: list[str]) -> int:
     def emit(frames):
         nonlocal n_done, bad
         for fr in frames:
-            i = n_done
+            bad += _emit_frame(prefix, n_done, fr)
             n_done += 1
-            if fr["mode"] is None:
-                print(f"frame {i}: pos {fr['pos']} header rejected: "
-                      f"{fr['status']}", file=sys.stderr)
-                bad += 1
-                continue
-            print(f"frame {i}: pos {fr['pos']} mode {fr['mode']} "
-                  f"call sign {fr['call_sign']} "
-                  f"{'ok' if fr['ok'] else 'FAILED'} "
-                  f"flips {fr['flips']}", file=sys.stderr)
-            if fr["ok"]:
-                with open(f"{prefix}.{i:03d}", "wb") as out:
-                    out.write(fr["payload"])
-            else:
-                bad += 1
 
     while True:
         raw = rem + f.read(rate * block)   # ~1 s of audio per feed

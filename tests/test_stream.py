@@ -180,3 +180,14 @@ def test_stream_mixed_modes():
     assert [f["mode"] for f in got] == [10, 12]
     assert [f["call_sign"] for f in got] == ["AB1CDE", "N0CALL"]
     assert [f["payload"] for f in got] == payloads
+
+def test_stream_silent_retirement():
+    """A long event-free stream must not accumulate host buffers: the
+    retirement watermark trims behind the scan horizon even when no
+    candidate is pending."""
+    sd = StreamDecoder(8000, channels=1, bits=16)
+    chunk = np.zeros(sd.c, np.int16)
+    for _ in range(40):
+        assert sd.feed(chunk) == []
+    assert len(sd._an) < 4 * sd.c
+    assert len(sd._raw) < 4 * sd.c
