@@ -54,6 +54,25 @@ def cfo(x: np.ndarray, hz: float, rate: int) -> np.ndarray:
     return np.asarray(x) * np.exp(2j * np.pi * hz * n / rate)
 
 
+def analytic_np(x: np.ndarray) -> np.ndarray:
+    """Exact FFT analytic signal of a real vector (one-sided
+    spectrum).  Host test fixture — the receiver's own causal FIR
+    front-end lives in dsp.py/ingest.py; this is for impairing real
+    recordings physically (a passband frequency shift acts on the
+    analytic signal, cli.py cmd_cfo)."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    spec = np.fft.fft(x)
+    h = np.zeros(n)
+    h[0] = 1.0
+    if n % 2 == 0:
+        h[n // 2] = 1.0
+        h[1: n // 2] = 2.0
+    else:
+        h[1: (n + 1) // 2] = 2.0
+    return np.fft.ifft(spec * h)
+
+
 def sfo(x: np.ndarray, ppm: float, taps: int = 32) -> np.ndarray:
     """Resample by 1 + ppm*1e-6 (receiver clock running fast/slow).
 

@@ -253,6 +253,7 @@ def cmd_decode_stream(argv: list[str]) -> int:
             rate = int.from_bytes(fmt[4:8], "little")
             bits = int.from_bytes(fmt[14:16], "little")
         elif cid == b"data":
+            data_left = size
             break
         else:
             read_exact(size)
@@ -284,8 +285,19 @@ def cmd_decode_stream(argv: list[str]) -> int:
             bad += _emit_frame(prefix, n_done, fr)
             n_done += 1
 
-    while True:
-        raw = rem + f.read(rate * block)   # ~1 s of audio per feed
+    # honor the declared data size so trailing RIFF chunks (LIST/INFO
+    # metadata) are not parsed as PCM; 0 / 0xFFFFFFFF are streaming
+    # sentinels (size unknown at header-write time: read to EOF)
+    if data_left in (0, 0xFFFFFFFF):
+        data_left = None
+    while data_left is None or data_left > 0:
+        want = rate * block                # ~1 s of audio per feed
+        if data_left is not None:
+            want = min(want, data_left)
+        got = f.read(want)
+        if data_left is not None:
+            data_left -= len(got)
+        raw = rem + got
         if not raw:
             break
         keep = len(raw) - len(raw) % block
@@ -373,10 +385,13 @@ def cmd_cfo(argv: list[str]) -> int:
         return 1
     from . import channel
     data, x = _impair_read(argv[1])
+    if data.channels == 1:
+        # a frequency shift of a real passband signal acts on its
+        # ANALYTIC signal (shifting the real samples directly would be
+        # ring modulation: x*cos(wn) = half signal + a mirror image)
+        x = channel.analytic_np(x.real)
     y = channel.cfo(x, float(argv[2]), data.rate)
     if data.channels == 1:
-        # a real channel cannot carry a one-sided shift; mirror the
-        # physics by keeping the real projection
         y = y.real.astype(np.complex128)
     return _impair_write(argv[0], data, y)
 
@@ -402,9 +417,15 @@ def cmd_awgn(argv: list[str]) -> int:
     from . import channel
     rng = np.random.default_rng(int(argv[3]) if len(argv) > 3 else 0)
     data, x = _impair_read(argv[1])
-    y = channel.awgn(x, float(argv[2]), rng)
     if data.channels == 1:
-        y = y.real.astype(np.complex128)
+        # real channel: real noise at the stated power (projecting
+        # complex noise would land 3 dB low vs channel.awgn's
+        # documented total-power convention)
+        sigma = 10.0 ** (float(argv[2]) / 20.0)
+        y = x.real + sigma * rng.standard_normal(len(x))
+        y = y.astype(np.complex128)
+    else:
+        y = channel.awgn(x, float(argv[2]), rng)
     return _impair_write(argv[0], data, y)
 
 

@@ -188,7 +188,6 @@ class Synchronizer:
         self.front_lead = ingest.front_lead(self.dc_window, self.taps)
 
         self._metrics_jit = jax.jit(self._metrics)
-        self._fine_jit = jax.jit(jax.vmap(self._fine_stage))
 
         def fine_packed(wins, fcs):
             # pack the fine stage's per-candidate outputs into one

@@ -134,3 +134,29 @@ def test_cli_simulation_chain_loopback(tmp_path):
     assert main(["awgn", w[4], w[3], "-30"]) == 0
     assert main(["decode", str(dec), w[4]]) == 0
     assert dec.read_bytes() == payload
+
+def test_cli_impair_mono_semantics(tmp_path):
+    """Mono WAVs: cfo shifts the ANALYTIC signal (not ring
+    modulation), awgn adds real noise at the stated total power."""
+    from modem_tpu import channel, wav
+
+    rng = np.random.default_rng(4)
+    x = (0.3 * rng.standard_normal(4000)).astype(np.float32)
+    src = str(tmp_path / "m.wav")
+    wav.write_wav(src, x.astype(np.complex64), 8000, 16, 1)
+    xq = wav.read_wav(src).samples[:, 0].astype(np.float64)
+    out = str(tmp_path / "o.wav")
+    q = 2.0 / 65535
+
+    from modem_tpu.cli import main
+    assert main(["cfo", out, src, "500"]) == 0
+    y = wav.read_wav(out).samples[:, 0].astype(np.float64)
+    want = channel.cfo(channel.analytic_np(xq), 500.0, 8000).real
+    n = len(y)
+    assert np.abs(y - np.clip(want[:n], -1, 1)).max() < 2 * q
+
+    assert main(["awgn", out, src, "-20", "3"]) == 0
+    y = wav.read_wav(out).samples[:, 0].astype(np.float64)
+    noise = y - np.clip(xq, -1, 1)
+    power_db = 10 * np.log10(np.mean(noise**2))
+    assert abs(power_db - (-20.0)) < 0.5     # full stated power

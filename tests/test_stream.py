@@ -191,3 +191,25 @@ def test_stream_silent_retirement():
         assert sd.feed(chunk) == []
     assert len(sd._an) < 4 * sd.c
     assert len(sd._raw) < 4 * sd.c
+
+def test_cli_decode_stream_trailing_chunk(two_frame_rec, tmp_path):
+    """RIFF chunks AFTER the data body (LIST/INFO metadata many tools
+    append) must not be parsed as PCM: the stream honors the declared
+    data size."""
+    from modem_tpu import wav
+    from modem_tpu.cli import main
+    rec, payloads = two_frame_rec
+    wavf = tmp_path / "s.wav"
+    wav.write_wav(str(wavf), rec.astype(np.complex64), 8000, 16, 2)
+    raw = bytearray(wavf.read_bytes())
+    junk = b"LIST" + (64).to_bytes(4, "little") + bytes(64)
+    raw += junk
+    # keep the RIFF size honest about the appended chunk
+    riff_size = int.from_bytes(raw[4:8], "little") + len(junk)
+    raw[4:8] = riff_size.to_bytes(4, "little")
+    patched = tmp_path / "t.wav"
+    patched.write_bytes(bytes(raw))
+    prefix = str(tmp_path / "tc")
+    assert main(["decode-stream", prefix, str(patched)]) == 0
+    assert (tmp_path / "tc.000").read_bytes() == payloads[0]
+    assert (tmp_path / "tc.001").read_bytes() == payloads[1]
