@@ -481,10 +481,11 @@ class Synchronizer:
         MAX_CHUNKS_PER_CALL chunks per jit call, O(chunks_per_call)
         device memory and O(max_edges) host transfer.  Same chunk and
         context block alignment as metrics_host; Schmitt state and
-        running argmax composed across all chunk boundaries.  Caveat
-        vs the host path: at most ``max_edges`` edges are taken per
-        chunk (more is pathological noise; the host path's global cap
-        would have exhausted its margin anyway).
+        running argmax composed across all chunk boundaries.  At most
+        ``max_edges`` edges are taken per chunk — equivalent to the
+        host path's global cap, not a divergence: the global first-k
+        edges are each within their own chunk's first k (see scan()
+        and test_dense_edges_per_chunk_cap_equivalence).
 
         ``front``: raw-PCM mode (see _extract_batch_fn) — ``x`` is
         then the quantised [T] mono / [T, 2] stereo wire array and
@@ -639,11 +640,13 @@ class Synchronizer:
         remote compiler).  ``host=True`` forces the reference host-
         numpy edge walk over metrics_host (the spec the device path is
         tested against; for PCM input the spec front-end is
-        ingest.PcmRecording.analytic_np).  Divergence caveat vs the
-        host path: the device extraction keeps at most
-        4*max_candidates falling edges PER CHUNK (the host cap is
-        global), so pathologically dense spurious edges inside one
-        chunk can differ — see _events_device.
+        ingest.PcmRecording.analytic_np).  The device extraction caps
+        edges PER CHUNK at k = 4*max_candidates while the host walk
+        caps globally — provably the SAME result: an edge among the
+        global first k is, within its own chunk, also among that
+        chunk's first k, so the per-chunk cap keeps a superset and
+        the time-ordered global truncation matches
+        (test_dense_edges_per_chunk_cap_equivalence).
         """
         cfg = self.cfg
         L = self.L

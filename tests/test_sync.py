@@ -137,3 +137,27 @@ def test_scan_reaches_late_frames():
     assert len(cands) == 10
     few = [c for c in sync.scan(ten, max_candidates=3) if c.ok]
     assert len(few) == 3
+
+
+def test_dense_edges_per_chunk_cap_equivalence():
+    """The device extraction's PER-CHUNK edge cap (k = 4*max_candidates
+    per chunk) cannot diverge from the host path's GLOBAL first-k walk:
+    any edge among the global first k is, within its own chunk, also
+    among that chunk's first k, so the per-chunk cap keeps a superset
+    and the time-ordered global truncation yields the identical edge
+    set.  Pinned with ~24 real+spurious edges packed into one chunk
+    against a cap of 8 (resolves the round-2 advisor's divergence
+    concern affirmatively)."""
+    from modem_tpu.parallel import toy_config, toy_recordings
+    from modem_tpu.sync import Synchronizer
+
+    recs, _ = toy_recordings(1, seed=3)
+    one = np.asarray(recs[0])
+    x = np.concatenate([one] * 12, axis=0)     # ~24 edges, 75k samples
+    sync = Synchronizer(toy_config())
+    host = sync.scan(x, max_candidates=2, host=True)
+    assert len(host) >= 2
+    for chunk in (2048, 8192, 1 << 16, 1 << 17):
+        dev = sync.scan(x, max_candidates=2, chunk_samples=chunk)
+        assert [(c.p0, c.ok) for c in dev] == \
+            [(c.p0, c.ok) for c in host], chunk
