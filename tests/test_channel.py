@@ -66,3 +66,17 @@ def test_full_reference_chain(mode6):
     out = channel.reference_chain(rec, cfg.rate,
                                   rng=np.random.default_rng(2))
     _decode(out, payload)
+
+
+def test_analytic_np_exact():
+    """channel.analytic_np: real part preserved exactly (the analytic
+    signal's real projection IS the input) and the spectrum is
+    one-sided (negative frequencies zero)."""
+    rng = np.random.default_rng(8)
+    for n in (4096, 4097):          # even + odd lengths
+        x = rng.standard_normal(n)
+        a = channel.analytic_np(x)
+        assert np.abs(a.real - x).max() < 1e-9
+        spec = np.fft.fft(a)
+        neg = spec[(n // 2) + 1:]
+        assert np.abs(neg).max() < 1e-6 * np.abs(spec).max()
