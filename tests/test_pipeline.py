@@ -106,3 +106,33 @@ def test_toy_frame_has_wire_structure():
     assert cfg.mls1_len <= cfg.symbol_len
     assert cfg.mode.cons_bits % (cfg.mode.mod_bits *
                                  cfg.mode.cons_cols) == 0
+
+
+def test_sharded_decode_recording_pcm_wire_input():
+    """The mesh-sharded recording path composes with wire-dtype PCM
+    ingest (decode.cc:294-301 on device): int16 stereo input through
+    sharded_sync + frame-batch DP must match the single-device
+    PcmRecording path byte-for-byte."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    from modem_tpu.ingest import PcmRecording
+    from modem_tpu.parallel import sharded_decode_recording
+
+    recs, payloads = toy_recordings(4, seed=2)
+    x = np.concatenate([np.asarray(r) for r in recs], axis=0)
+    sti = np.clip(np.rint(x * 32767), -32768, 32767).astype(np.int16)
+    pipe = toy_pipeline()
+
+    def mkpcm():
+        return PcmRecording(data=sti.copy(), bits=16,
+                            rate=pipe.cfg.rate)
+
+    mesh = make_mesh(min(8, len(jax.devices())))
+    ref, pos_ref = pipe.decode_recording(mkpcm(), max_frames=8)
+    got, pos = sharded_decode_recording(pipe, mesh, mkpcm(),
+                                        max_frames=8)
+    assert list(pos) == list(pos_ref)
+    assert np.asarray(got["ok"]).all()
+    for i in range(len(pos)):
+        assert pipe.payload_bytes(got, i) == payloads[i]
+        assert pipe.payload_bytes(got, i) == pipe.payload_bytes(ref, i)
