@@ -104,9 +104,36 @@ def scl_parity_check(pipe):
     return ok
 
 
+def device_reachable(timeout_s: float = 180.0) -> bool:
+    """Probe the TPU with a tiny op in a SUBPROCESS under a timeout.
+
+    The axon tunnel can wedge server-side for hours (2026-08-17
+    outage); a wedged device makes every jax op hang forever, so
+    without this gate bench.py would hang silently instead of
+    reporting.  A subprocess (not a thread) because a hung jax call
+    cannot be cancelled in-process."""
+    prog = ("import numpy as np, jax.numpy as jnp\n"
+            "assert np.asarray(jnp.arange(4.0) * 2)[1] == 2.0\n")
+    try:
+        return subprocess.run([sys.executable, "-c", prog],
+                              timeout=timeout_s,
+                              capture_output=True).returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     from modem_tpu import apply_env_platform
     apply_env_platform()
+
+    if os.environ.get("JAX_PLATFORMS", "axon") != "cpu" \
+            and not device_reachable():
+        # one honest JSON line beats an indefinite hang
+        print(json.dumps(dict(
+            metric="decode_frames_per_sec_per_chip", value=0.0,
+            unit="frames/s", vs_baseline=0.0,
+            error="TPU unreachable: axon tunnel probe timed out")))
+        return
 
     from modem_tpu import bits as B
     from modem_tpu import cplx
