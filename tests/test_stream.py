@@ -213,3 +213,26 @@ def test_cli_decode_stream_trailing_chunk(two_frame_rec, tmp_path):
     assert main(["decode-stream", prefix, str(patched)]) == 0
     assert (tmp_path / "tc.000").read_bytes() == payloads[0]
     assert (tmp_path / "tc.001").read_bytes() == payloads[1]
+
+def test_stream_16k_mono():
+    """Rate plumbing: 16 kHz mono int16 stream (different symbol/guard
+    lengths, Hilbert taps, front lead) matches the batch path."""
+    rng = np.random.default_rng(13)
+    payload = rng.integers(0, 256, 5380, dtype=np.uint8).tobytes()
+    cfg = make_config(16000, 10, 2300)
+    wave, _ = Encoder(cfg).encode([payload], B.base37_encode("AB1CDE"))
+    rec = np.concatenate([np.zeros(16000, np.complex64), wave,
+                          np.zeros(16000, np.complex64)])
+    mono = np.clip(np.rint(rec.real * 32767), -32768,
+                   32767).astype(np.int16)
+    pcm = PcmRecording(data=mono, bits=16, rate=16000)
+    ref = decode_recording_auto(pcm, 16000, channels=1)
+    sd = StreamDecoder(16000, channels=1, bits=16)
+    got = []
+    i = 0
+    while i < len(mono):
+        got += sd.feed(mono[i: i + 17000])
+        i += 17000
+    got += sd.finish()
+    assert _key(sorted(got, key=lambda f: f["pos"])) == _key(ref)
+    assert got[0]["ok"] and got[0]["payload"] == payload
