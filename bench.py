@@ -214,21 +214,34 @@ def main():
         return 1
 
     reps = 3
-    # vary the input (scaling leaves the decode invariant) and fetch a
-    # result to host each rep: block_until_ready does not actually block
-    # through the axon tunnel, and identical inputs could be memoized.
-    # Inputs are staged on device outside the timed loop.
-    staged = [jnp.asarray(cplx.from_np(recs) * np.float32(s))
-              for s in (1.02, 1.01, 0.99)]
+    # every rep decodes a DISTINCT encoded batch (disjoint payload
+    # sets 1-3; set 0 warmed the compile above) and fetches a result
+    # to host: block_until_ready does not actually block through the
+    # axon tunnel, and identical inputs could be memoized.  Inputs are
+    # staged on device outside the timed loop.  (Scalar-scaled copies
+    # of ONE batch defeated memoization but re-timed the same
+    # sync/demod workload — VERDICT r3 weak #4.)
+    staged = []
+    for ps in payload_sets[1:]:
+        w, _ = enc.encode_batch(ps, call)
+        staged.append(jnp.asarray(cplx.from_np(
+            np.concatenate([sil, w, sil], axis=1))))
     for s in staged:
         s.block_until_ready()
     t0 = time.time()
+    oks = []
     for i in range(reps):
         res = pipe.decode_batch(staged[i % 3])
+        oks.append(res["ok"])
         np.asarray(res["flips"])
     dt = (time.time() - t0) / reps
     fps = batch / dt
     xrt = fps * frame_s
+    if not all(bool(np.asarray(ok).all()) for ok in oks):
+        print(json.dumps({"metric": "decode correctness", "value": 0,
+                          "unit": "failed (timed reps)",
+                          "vs_baseline": 0.0}))
+        return 1
 
     # ---- Pallas-vs-VM noisy parity on the real chip -------------------
     t0 = time.time()

@@ -178,30 +178,73 @@ def payload_crc32(payload: bytes) -> int:
 # Maximum-length sequences (mls.hh semantics)
 # ---------------------------------------------------------------------------
 
-def mls_bits(poly: int, count: int, seed: int = 1) -> np.ndarray:
-    """Galois LFSR over the primitive polynomial, register seeded `seed`.
+# Every convention below generates THE m-sequence of its primitive
+# polynomial (period 2^deg - 1, verified in tests/test_mls_convention);
+# they differ only in the PHASE at which seed 1 enters the cycle —
+# which IS a wire-format choice: the MLS0 carrier pattern, the MLS1
+# header scrambler and the MLS2 pilot all transmit the phase.
+# Loopback parity cannot distinguish them (encoder and decoder share
+# the generator: encode.cc:144 <-> decode.cc:238), so the convention
+# stays configurable (ModemConfig.mls_convention) and the receiver can
+# auto-detect it from the preamble; docs/WIRE_FORMAT.md carries the
+# argued default choice and the golden-waveform handshake procedure.
+MLS_CONVENTIONS = ("galois", "fibonacci", "msb")
 
-    Emits one bit per step.  Self-consistent across encoder and decoder
-    (the only offline-verifiable requirement; see SURVEY.md Appendix A —
-    the matched sync kernel at decode.cc:76-83 is built from the same
-    sequence the encoder transmits at encode.cc:144).
+
+def mls_bits(poly: int, count: int, seed: int = 1,
+             convention: str = "galois") -> np.ndarray:
+    """LFSR m-sequence over the primitive polynomial ``poly`` (bit i =
+    coefficient of x^i), register seeded ``seed``, one bit per step.
+
+    Conventions (see module note above; reference: mls.hh via the call
+    sites encode.cc:134/144/165, decode.cc:238/407):
+
+    * ``galois``    — right-shift Galois, output = LSB before the shift,
+      feedback XORs ``poly >> 1`` into the register when the output bit
+      is 1.  The framework's wire default since round 1.
+    * ``fibonacci`` — right-shift Fibonacci, output = LSB, new top bit =
+      parity of the tapped state (taps = ``poly`` minus its leading
+      term).  SURVEY.md Appendix A's original reading of mls.hh.
+    * ``msb``       — left-shift Galois, output = top register bit
+      BEFORE the shift (so seed 1 leads with deg-1 zeros).  A direct
+      transcription of the upstream mls.hh operator() structure
+      (fb = reg & test; reg <<= 1; reg ^= fb * poly; return fb).
     """
     deg = poly.bit_length() - 1
     mask = (1 << deg) - 1
-    taps = (poly >> 1) & mask
     reg = seed & mask
     out = np.empty(count, dtype=np.uint8)
-    for i in range(count):
-        bit = reg & 1
-        out[i] = bit
-        reg >>= 1
-        if bit:
-            reg ^= taps
+    if convention == "galois":
+        taps = (poly >> 1) & mask
+        for i in range(count):
+            bit = reg & 1
+            out[i] = bit
+            reg >>= 1
+            if bit:
+                reg ^= taps
+    elif convention == "fibonacci":
+        taps = poly & mask          # x^0 .. x^(deg-1) coefficients
+        top = 1 << (deg - 1)
+        for i in range(count):
+            out[i] = reg & 1
+            fb = bin(reg & taps).count("1") & 1
+            reg = (reg >> 1) | (top if fb else 0)
+    elif convention == "msb":
+        test = 1 << (deg - 1)
+        for i in range(count):
+            fb = 1 if reg & test else 0
+            out[i] = fb
+            reg = (reg << 1) & mask
+            if fb:
+                reg ^= poly & mask
+    else:
+        raise ValueError(f"unknown MLS convention {convention!r}")
     return out
 
 
-def mls_nrz(poly: int, count: int, seed: int = 1) -> np.ndarray:
-    return nrz(mls_bits(poly, count, seed))
+def mls_nrz(poly: int, count: int, seed: int = 1,
+            convention: str = "galois") -> np.ndarray:
+    return nrz(mls_bits(poly, count, seed, convention))
 
 
 # ---------------------------------------------------------------------------

@@ -66,13 +66,24 @@ class Decoder:
 
     def __init__(self, rate: int, list_size: int = 8,
                  device_scl="auto", scl_exact: bool = True,
-                 estimator: str | None = None):
+                 estimator: str | None = None,
+                 mls_convention: str = "galois"):
         # mode choice does not affect the front-end/sync/header stages
         from .numerology import SUPPORTED_RATES
         if rate not in SUPPORTED_RATES:
             raise ValueError(f"unsupported sample rate {rate}")
         self.rate = rate
-        self.cfg = ModemConfig(rate=rate, mode=MODES[6], freq_off=0)
+        # mls_convention="auto": the receiver builds one matched sync
+        # kernel per LFSR convention, keeps every gate-passing
+        # convention as a ranked hypothesis, and the header stage
+        # commits the first whose OSD+CRC16 validates (the MLS phase
+        # is a wire-format unknown with no golden waveform to pin it;
+        # sync alone cannot separate the hypotheses — sync._fine_stage
+        # and docs/WIRE_FORMAT.md).  Default "galois": the framework's
+        # wire convention, single-hypothesis, reference-transcript
+        # semantics.
+        self.cfg = ModemConfig(rate=rate, mode=MODES[6], freq_off=0,
+                               mls_convention=mls_convention)
         self.list_size = list_size
         # scl_exact (default True): provably bit-by-bit-SCL-equivalent
         # device decode via the one-shot RATE1/SPC enumeration
@@ -95,6 +106,12 @@ class Decoder:
         self._device_scl_cache: dict[int, object] = {}
         self._payload_cache: dict[int, object] = {}
         self.sync = sync.Synchronizer(self.cfg)
+        # one MLS1 header descrambler per sync-kernel convention; the
+        # per-candidate detected index selects the row at trace time
+        self._mls1_seqs = np.stack(
+            [B.mls_nrz(self.cfg.mls1_poly, self.cfg.mls1_len,
+                       convention=c).astype(np.float32)
+             for c in self.sync.conventions])
         self._header_jit = jax.jit(self._header_soft)
         # eager op dispatch is expensive on this backend; jit the OSD
         self._osd_jit = jax.jit(lambda soft: osd_decode(soft))
@@ -107,9 +124,11 @@ class Decoder:
     # ------------------------------------------------------------------
     # header stage (decode.cc:398-446)
     # ------------------------------------------------------------------
-    def _header_soft(self, window, cfo_rad):
+    def _header_soft(self, window, cfo_rad, conv=0):
         """window: [N, 2] samples of the metadata symbol; returns int8-ish
-        soft bits [255] for the OSD."""
+        soft bits [255] for the OSD.  ``conv`` (traced int32) selects
+        the MLS1 descrambler matching the sync stage's detected LFSR
+        convention (constant 0 for a single-convention receiver)."""
         cfg = self.cfg
         n = cfg.symbol_len
         idx = jnp.arange(n, dtype=jnp.float32)
@@ -118,8 +137,7 @@ class Decoder:
         mls1_off = -(cfg.mls1_len // 2)
         bins = jnp.asarray(
             ofdm.bin_index(np.arange(cfg.mls1_len) + mls1_off, n))
-        seq = jnp.asarray(
-            B.mls_nrz(cfg.mls1_poly, cfg.mls1_len).astype(np.float32))
+        seq = jnp.asarray(self._mls1_seqs)[conv]
         carriers = spec[bins] * seq[:, None]
         prev_bins = jnp.asarray(
             ofdm.bin_index(np.arange(cfg.mls1_len) + mls1_off - 1, n))
@@ -158,25 +176,45 @@ class Decoder:
 
     def _decode_header(self, x: np.ndarray, cand: sync.SyncCandidate,
                        emit=lambda s: None):
+        """Walk the candidate's convention hypotheses (one for a
+        single-convention receiver) and commit the first whose header
+        validates; the failure status reported is the BEST-ranked
+        hypothesis's (what a single-kernel reference receiver would
+        see, decode.cc:417-432)."""
         cfg = self.cfg
         s, g = cfg.symbol_len, cfg.guard_len
-        lo = cand.p0 + s + g
-        if lo < 0 or lo + s > len(x):
-            return None, "header window out of range"
-        soft = self._header_jit(jnp.asarray(x[lo: lo + s]),
-                                jnp.float32(cand.cfo_rad))
-        data, unique = self._osd_jit(soft)
-        if not bool(unique):
-            return None, "OSD error."
-        return self._validate_header(np.asarray(data), emit)
+        alts = cand.alts or ((cand.conv, cand.p0, cand.cfo_rad,
+                              cand.peak_ratio),)
+        first_fail = None
+        for alt in alts:
+            conv, p0, cfo_rad, _ratio = alt
+            lo = p0 + s + g
+            if lo < 0 or lo + s > len(x):
+                fail = (None, "header window out of range")
+            else:
+                soft = self._header_jit(jnp.asarray(x[lo: lo + s]),
+                                        jnp.float32(cfo_rad),
+                                        jnp.int32(conv))
+                data, unique = self._osd_jit(soft)
+                if not bool(unique):
+                    fail = (None, "OSD error.")
+                else:
+                    hdr, status = self._validate_header(
+                        np.asarray(data), emit)
+                    if hdr is not None:
+                        cand.accept(alt)
+                        return hdr, status
+                    fail = (None, status)
+            first_fail = first_fail or fail
+        return first_fail
 
     # -- batched header path (serving; decode.cc:398-446 over all
     #    detected preambles in ONE jit) ---------------------------------
     def _headers_batch_jit(self, batch: int):
         fn = self._payload_cache.get(("headers", batch))
         if fn is None:
-            def run(wins, cfos):
-                soft = jax.vmap(self._header_soft)(wins, cfos)
+            def run(wins, cfos, convs):
+                soft = jax.vmap(self._header_soft)(wins, cfos, convs)
                 data, unique = jax.vmap(lambda s_: osd_decode(s_))(soft)
                 # pack (unique, data) into ONE int32 block: a device
                 # read is one tunnel round trip regardless of size
@@ -201,6 +239,13 @@ class Decoder:
         callers can report WHY a preamble was rejected.  The batch
         pads to the next power of two so jit shapes are reused across
         recordings.
+
+        Under mls_convention="auto" each candidate contributes one
+        hypothesis per gate-passing convention (SyncCandidate.alts);
+        all hypotheses demod+OSD in the same single jit, the first
+        validating one is committed into its candidate (accept()), and
+        a candidate whose hypotheses all fail reports its best-ranked
+        hypothesis's status.
         """
         from . import ingest
         cfg = self.cfg
@@ -208,38 +253,52 @@ class Decoder:
         nc = len(cands)
         if nc == 0:
             return []
-        pad = 1 << max(0, (nc - 1).bit_length())
         pcm = x if isinstance(x, ingest.PcmRecording) else None
         t_all = pcm.n_samples if pcm is not None else len(x)
-        cfos = np.zeros(pad, dtype=np.float32)
-        in_range = [False] * nc
-        starts = [0] * pad
+        hyps = []          # (cand index, alt, window in range, start)
         for i, c in enumerate(cands):
-            lo = c.p0 + s + g
-            if lo < 0 or lo + s > t_all:
+            alts = c.alts or ((c.conv, c.p0, c.cfo_rad, c.peak_ratio),)
+            for alt in alts:
+                lo = alt[1] + s + g
+                hyps.append((i, alt, lo >= 0 and lo + s <= t_all,
+                             max(lo, 0)))
+        pad = 1 << max(0, (len(hyps) - 1).bit_length())
+        cfos = np.zeros(pad, dtype=np.float32)
+        convs = np.zeros(pad, dtype=np.int32)
+        starts = [0] * pad
+        for j, (_i, alt, ok_rng, lo) in enumerate(hyps):
+            if not ok_rng:
                 continue
-            in_range[i] = True
-            starts[i] = lo
-            cfos[i] = c.cfo_rad
+            starts[j] = lo
+            cfos[j] = alt[2]
+            convs[j] = alt[0]
         if pcm is not None:
             wins = self.sync._pcm_windows(pcm, starts, s)
         else:
             wins = np.zeros((pad, s, 2), dtype=np.float32)
-            for i in range(nc):
-                if in_range[i]:
-                    wins[i] = x[starts[i]: starts[i] + s]
+            for j, (_i, _alt, ok_rng, lo) in enumerate(hyps):
+                if ok_rng:
+                    wins[j] = x[lo: lo + s]
         packed = np.asarray(self._headers_batch_jit(pad)(
-            jnp.asarray(wins), jnp.asarray(cfos)))   # ONE fetch
+            jnp.asarray(wins), jnp.asarray(cfos),
+            jnp.asarray(convs)))   # ONE fetch
         unique = packed[:, 0] != 0
         data = packed[:, 1:]
-        out = []
-        for i in range(nc):
-            if not in_range[i]:
-                out.append((None, "past recording end"))
-            elif not unique[i]:
-                out.append((None, "OSD error."))   # decode.cc:417-418
+        out: list = [None] * nc
+        for j, (i, alt, ok_rng, _lo) in enumerate(hyps):
+            if out[i] is not None and out[i][0] is not None:
+                continue                    # already committed
+            if not ok_rng:
+                res = (None, "past recording end")
+            elif not unique[j]:
+                res = (None, "OSD error.")   # decode.cc:417-418
             else:
-                out.append(self._validate_header(data[i]))
+                res = self._validate_header(data[j])
+            if res[0] is not None:
+                cands[i].accept(alt)
+                out[i] = res
+            elif out[i] is None:
+                out[i] = res    # best-ranked hypothesis's failure
         return out
 
     # ------------------------------------------------------------------
@@ -377,10 +436,17 @@ class Decoder:
         for cand in self.sync.scan(x):
             if not cand.ok:
                 continue
+            # the header stage may commit a different convention
+            # hypothesis (and with it p0 / cfo); buffer its transcript
+            # lines so "symbol pos"/"coarse cfo" print the committed
+            # values in the reference's order (decode.cc:400-401)
+            pend: list[str] = []
+            hdr, status = self._decode_header(x, cand, pend.append)
             emit(f"symbol pos: {cand.p0}")
             emit(f"coarse cfo: "
                  f"{cand.cfo_rad * self.rate / (2 * np.pi):.6g} Hz ")
-            hdr, status = self._decode_header(x, cand, emit)
+            for line in pend:
+                emit(line)
             result.status = status
             if hdr is None:
                 emit(status)
@@ -431,5 +497,6 @@ class Decoder:
 
 
 @functools.lru_cache(maxsize=None)
-def cached_decoder(rate: int, list_size: int = 8) -> Decoder:
-    return Decoder(rate, list_size)
+def cached_decoder(rate: int, list_size: int = 8,
+                   mls_convention: str = "galois") -> Decoder:
+    return Decoder(rate, list_size, mls_convention=mls_convention)

@@ -34,16 +34,20 @@ class Encoder:
 
     def __init__(self, cfg: ModemConfig):
         cfg.validate()
+        if cfg.mls_convention == "auto":
+            raise ValueError("mls_convention='auto' is receive-only; "
+                             "a transmitter must commit to one")
         self.cfg = cfg
         mode = cfg.mode
         n = cfg.symbol_len
+        conv = cfg.mls_convention
         self.code = PolarCode(n=mode.cons_bits, k=mode.crc_bits,
                               order=mode.code_order)
 
         # --- pilot block spectrum (encode.cc:132-141) ---------------------
         self.code_fac = float(np.sqrt(n / mode.cons_cols))
         pilot = np.zeros(n, dtype=np.complex64)
-        seq2 = B.mls_nrz(MLS2_POLY, mode.cons_cols)
+        seq2 = B.mls_nrz(MLS2_POLY, mode.cons_cols, convention=conv)
         cols_bins = ofdm.bin_index(
             np.arange(cfg.code_off, cfg.code_off + mode.cons_cols), n)
         pilot[cols_bins] = self.code_fac * seq2
@@ -56,7 +60,7 @@ class Encoder:
         mls0_fac = np.sqrt(2.0 * n / cfg.mls0_len)
         sc = np.zeros(n, dtype=np.complex64)
         sc[ofdm.bin_index(cfg.mls0_off - 2, n)] = mls0_fac
-        seq0 = B.mls_nrz(cfg.mls0_poly, cfg.mls0_len)
+        seq0 = B.mls_nrz(cfg.mls0_poly, cfg.mls0_len, convention=conv)
         even_bins = ofdm.bin_index(
             2 * np.arange(cfg.mls0_len) + cfg.mls0_off, n)
         # cumulative differential over the even bins, seeded by the
@@ -65,7 +69,8 @@ class Encoder:
         self.sc_fdom = sc
 
         # --- metadata scrambler (encode.cc:165-177) -----------------------
-        self.mls1_seq = B.mls_nrz(cfg.mls1_poly, cfg.mls1_len)
+        self.mls1_seq = B.mls_nrz(cfg.mls1_poly, cfg.mls1_len,
+                                  convention=conv)
         self.mls1_fac = float(np.sqrt(n / cfg.mls1_len))
 
         # continuous encode compiles per CHUNK size from a pow2 ladder

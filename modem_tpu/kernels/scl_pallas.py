@@ -77,8 +77,9 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
 
     Returns fn: llrs [batch, code_len] f32 -> (codewords [batch, L,
     code_len] uint8, pm [batch, L] f32); batch must be a multiple of
-    frames_per_cell.  ops_override replaces the instruction table
-    (profiling aid; raw build_schedule format).
+    frames_per_cell.  ops_override replaces the FINAL instruction
+    table (profiling aid; [M, 16] rows in the retargeted .ops16
+    format — e.g. copies of another decoder's .ops16 rows).
 
     beta_bf16 stores the partial-sum buffers as bfloat16 — exact, since
     betas are only {-1, 0, +1} — halving that scratch so more frames
@@ -105,10 +106,6 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                                                   decompose_spc)
     sched = build_schedule(np.asarray(frozen, dtype=np.uint8).tobytes(),
                            emit_spc=emit_spc)
-    if ops_override is not None:
-        import dataclasses as _dc
-        sched = _dc.replace(sched, ops=np.asarray(ops_override,
-                                                  dtype=np.int32))
     L = list_size
     F = frames_per_cell
     P = F * L
@@ -368,6 +365,14 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
         if i < n2:
             fused3.append(ops16[i])
         ops16 = np.stack(fused3)
+    if ops_override is not None:
+        # profiling aid: rows in the FINAL retargeted 16-column format
+        # (copies of a real decoder's .ops16 rows, bench/ablate_ops.py)
+        # — raw build_schedule rows would be re-retargeted into
+        # out-of-bounds offsets and fault the kernel
+        ops16 = np.array(ops_override, dtype=np.int32)
+        assert ops16.ndim == 2 and ops16.shape[1] == 16, \
+            "ops_override takes final .ops16-format rows"
     n_ops = len(ops16)
     # expose the final instruction table for schedule analysis tools
     global LAST_OPS

@@ -116,6 +116,12 @@ class ModemConfig:
     mls0_poly: int = MLS0_POLY
     mls1_len: int = MLS1_LEN
     mls1_poly: int = MLS1_POLY
+    # LFSR convention for MLS0/MLS1/MLS2 (bits.MLS_CONVENTIONS): part
+    # of the wire format (the m-sequence PHASE transmitted on air).
+    # "galois" is the framework default; a receiver-side config may
+    # use "auto" to detect the transmit convention from the preamble's
+    # matched-filter stage (sync.py; docs/WIRE_FORMAT.md).
+    mls_convention: str = "galois"
 
     # -- OFDM numerology (encode.cc:31-32) ---------------------------------
     @property
@@ -176,6 +182,10 @@ class ModemConfig:
     def validate(self) -> None:
         if self.rate not in SUPPORTED_RATES:
             raise ValueError(f"unsupported sample rate {self.rate}")
+        if self.mls_convention not in ("galois", "fibonacci", "msb",
+                                       "auto"):
+            raise ValueError(
+                f"unknown MLS convention {self.mls_convention!r}")
         if (1280 * self.rate) % 8000:
             raise ValueError("symbol length must be integral")
         bw = BANDWIDTH.get(self.mode.oper_mode)

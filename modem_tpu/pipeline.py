@@ -35,9 +35,16 @@ class BatchPipeline:
     def __init__(self, rate: int, oper_mode: int, list_size: int = 8,
                  mode_spec=None, symbol_len_override=None,
                  scl_backend: str = "auto", frames_per_cell: int = 0,
-                 scl_exact: bool = True, estimator: str | None = None):
+                 scl_exact: bool = True, estimator: str | None = None,
+                 mls_convention: str = "galois"):
         """scl_backend: 'pallas' (VMEM-resident kernel, TPU only),
         'xla' (lax.scan VM), or 'auto' (pallas on TPU, xla elsewhere).
+
+        mls_convention: the transmit LFSR convention this pipeline's
+        internal fine-sync stage matches against (the batch path knows
+        its framing, so there is no auto-detect here; decode-all groups
+        frames by the convention the scan detected and builds one
+        pipeline per (mode, convention) — docs/WIRE_FORMAT.md).
 
         scl_exact (default True) selects the provably bit-by-bit-SCL-
         equivalent one-shot RATE1/SPC enumeration — the reference's
@@ -53,7 +60,8 @@ class BatchPipeline:
         divides the batch."""
         mode = mode_spec if mode_spec is not None else MODES[oper_mode]
         self.cfg = ModemConfig(rate=rate, mode=mode, freq_off=0,
-                               symbol_len_override=symbol_len_override)
+                               symbol_len_override=symbol_len_override,
+                               mls_convention=mls_convention)
         cfg = self.cfg
         self.code = PolarCode(n=mode.cons_bits, k=mode.crc_bits,
                               order=mode.code_order)
@@ -176,7 +184,9 @@ class BatchPipeline:
         p0, fc = self._sync_argmax(x)
         window = jax.lax.dynamic_slice(x, (p0 + self.sync.L, 0),
                                        (self.sync.L, 2))
-        shift, pos_err, peak, nxt, _ = self.sync._fine_stage(window, fc)
+        # the batch path's config pins ONE convention (K = 1)
+        shift, pos_err, peak, nxt, _ = (
+            v[0] for v in self.sync._fine_stage(window, fc))
         p0 = p0 - pos_err
         cfo = shift.astype(jnp.float32) * (2.0 * np.pi / self.sync.L) - fc
         cfo = jnp.where(cfo >= np.pi, cfo - 2.0 * np.pi, cfo)
@@ -393,17 +403,20 @@ def _pack_results(ok, flips, p0, sync_gate, cfo, snr):
 
 
 @functools.lru_cache(maxsize=None)
-def cached_pipeline(rate: int, oper_mode: int,
-                    list_size: int = 8) -> BatchPipeline:
-    return BatchPipeline(rate, oper_mode, list_size)
+def cached_pipeline(rate: int, oper_mode: int, list_size: int = 8,
+                    mls_convention: str = "galois") -> BatchPipeline:
+    return BatchPipeline(rate, oper_mode, list_size,
+                         mls_convention=mls_convention)
 
 
 def decode_recording_auto(x, rate: int, channels: int = 2,
-                          max_frames: int = 64):
+                          max_frames: int = 64,
+                          mls_convention: str = "galois"):
     """Reference-decoder semantics on the serving path: the operating
     mode and callsign auto-detect per frame from the BCH(255,71)+OSD
-    header (decode.cc:398-446), frames group by mode, and each group
-    batch-decodes in ONE jitted call.
+    header (decode.cc:398-446), frames group by mode (and, under
+    mls_convention="auto", by detected LFSR convention), and each
+    group batch-decodes in ONE jitted call.
 
     x: complex [T], [T, 2] split-complex, real mono when
     channels == 1, or an ingest.PcmRecording (wire-dtype transfer +
@@ -412,7 +425,7 @@ def decode_recording_auto(x, rate: int, channels: int = 2,
     {pos, mode, call_sign, ok, payload, flips, snr}.
     """
     from .decoder import cached_decoder
-    dec = cached_decoder(rate)
+    dec = cached_decoder(rate, mls_convention=mls_convention)
     if isinstance(x, ingest.PcmRecording):
         pass                      # scan/header/window stages take PCM
     elif channels == 1 and not np.iscomplexobj(x):
@@ -430,7 +443,7 @@ def decode_recording_auto(x, rate: int, channels: int = 2,
     # r1 task 3) — the payload stage below batches per mode group.
     cands = [c for c in dec.sync.scan(x, max_candidates=max_frames)
              if c.ok]
-    frames = []          # (pos, mode, call)
+    frames = []          # (pos, mode, call, mls convention)
     rejects = []         # preambles whose header failed, with WHY
     for c, (hdr, status) in zip(cands,
                                 dec.decode_headers_batch(x, cands)):
@@ -440,15 +453,16 @@ def decode_recording_auto(x, rate: int, channels: int = 2,
                 payload=b"", flips=None, snr=None, status=status))
             continue
         oper_mode, call = hdr
-        frames.append((c.p0, oper_mode, B.base37_decode(call).lstrip()))
+        frames.append((c.p0, oper_mode, B.base37_decode(call).lstrip(),
+                       dec.sync.conventions[c.conv]))
 
     out = []
-    by_mode: dict[int, list[int]] = {}
-    for idx, (_p, m, _c) in enumerate(frames):
-        by_mode.setdefault(m, []).append(idx)
+    by_mode: dict[tuple, list[int]] = {}
+    for idx, (_p, m, _c, cv) in enumerate(frames):
+        by_mode.setdefault((m, cv), []).append(idx)
     results = [None] * len(frames)
-    for m, idxs in by_mode.items():
-        pipe = cached_pipeline(rate, m)
+    for (m, cv), idxs in by_mode.items():
+        pipe = cached_pipeline(rate, m, mls_convention=cv)
         wins, _ = pipe.windows_at(x, [frames[i][0] for i in idxs])
         # two round trips per group: packed scalars + bits (per-frame
         # device reads were one tunnel round trip each — measured
@@ -456,7 +470,7 @@ def decode_recording_auto(x, rate: int, channels: int = 2,
         res = pipe.fetch(pipe.decode_windows(wins))
         for j, i in enumerate(idxs):
             results[i] = (pipe, res, j)
-    for i, (p0, m, call) in enumerate(frames):
+    for i, (p0, m, call, _cv) in enumerate(frames):
         pipe, res, j = results[i]
         ok = bool(np.asarray(res["ok"])[j])
         out.append(dict(

@@ -32,10 +32,10 @@ quantise to int16 (the wire format) instead.
 
 Parity: on a complete stream the emitted frames match
 ``pipeline.decode_recording_auto`` on the same recording
-(tests/test_stream.py).  One documented divergence: a stream never
-"ends early" — windows past ``finish()`` read front-ended silence, so
-a frame truncated mid-header decodes against silence instead of being
-reported "past recording end".
+(tests/test_stream.py).  A frame whose header or payload window
+extends past the true stream end is reported "past recording end"
+(never decoded against the silence pad) — the reference stops at read
+failure, decode.cc:296-297.
 """
 
 from __future__ import annotations
@@ -76,10 +76,11 @@ class StreamDecoder:
     EDGES_PER_CHUNK = 32
 
     def __init__(self, rate: int, channels: int = 2, bits=16,
-                 chunk_samples: int = 8192):
+                 chunk_samples: int = 8192,
+                 mls_convention: str = "galois"):
         from .decoder import cached_decoder
         self.rate = rate
-        self.dec = cached_decoder(rate)
+        self.dec = cached_decoder(rate, mls_convention=mls_convention)
         self.sync = self.dec.sync
         cfg = self.sync.cfg
         self.cfg = cfg
@@ -118,6 +119,7 @@ class StreamDecoder:
         self._cands = []                     # ok SyncCandidates pending
         self._frames = []                    # (cand, mode, call) pending
         self._finished = False
+        self._eos = None                     # true stream length (finish)
 
     # -- input plumbing ----------------------------------------------------
 
@@ -251,12 +253,35 @@ class StreamDecoder:
         if not ready:
             return
         self._cands = [c for c in self._cands if c not in ready]
+        if self._finished:
+            # reference EOS semantics (decode.cc:296-297: the decoder
+            # stops at read failure): a header window extending past
+            # the true stream end must NOT decode against the silence
+            # pad — report it instead
+            past = [c for c in ready if c.p0 + 2 * s + g > self._eos]
+            ready = [c for c in ready if c.p0 + 2 * s + g <= self._eos]
+            for c in past:
+                emitted.append(dict(
+                    pos=int(c.p0), mode=None, call_sign="", ok=False,
+                    payload=b"", flips=None, snr=None,
+                    status="past recording end"))
+            if not ready:
+                return
         lo = self._a0
         view = self._an if self._tail is None else \
             np.concatenate([self._an, self._tail])
-        shifted = [dataclasses.replace(c, p0=c.p0 - lo) for c in ready]
-        for c, (hdr, status) in zip(
-                ready, self.dec.decode_headers_batch(view, shifted)):
+        shifted = [dataclasses.replace(
+            c, p0=c.p0 - lo,
+            alts=tuple((k, p - lo, cf, r) for k, p, cf, r in c.alts))
+            for c in ready]
+        for c, sh, (hdr, status) in zip(
+                ready, shifted,
+                self.dec.decode_headers_batch(view, shifted)):
+            if hdr is not None:
+                # copy the committed convention hypothesis back into
+                # the un-shifted candidate (accept() mutated the copy)
+                c.accept((sh.conv, sh.p0 + lo, sh.cfo_rad,
+                          sh.peak_ratio))
             if hdr is None:
                 emitted.append(dict(
                     pos=int(c.p0), mode=None, call_sign="", ok=False,
@@ -269,13 +294,22 @@ class StreamDecoder:
     def _decode_payloads(self, emitted: list) -> None:
         from .pipeline import cached_pipeline
         g = self.cfg.guard_len
-        by_mode: dict[int, list] = {}
+        by_mode: dict[tuple, list] = {}
         rest = []
         for f in self._frames:
-            c, mode, _call = f
+            c, mode, call = f
             fsamp = cached_pipeline(self.rate, mode).cfg.frame_samples
-            if self._finished or c.p0 + fsamp - g <= self._an_end():
-                by_mode.setdefault(mode, []).append(f)
+            if self._finished and c.p0 + fsamp - g > self._eos:
+                # frame truncated by the true stream end: its tail
+                # would decode against the silence pad (see
+                # _decode_headers; decode.cc:296-297)
+                emitted.append(dict(
+                    pos=int(c.p0), mode=mode, call_sign=call, ok=False,
+                    payload=b"", flips=None, snr=None,
+                    status="past recording end"))
+            elif self._finished or c.p0 + fsamp - g <= self._an_end():
+                cv = self.sync.conventions[getattr(c, "conv", 0)]
+                by_mode.setdefault((mode, cv), []).append(f)
             else:
                 rest.append(f)
         self._frames = rest
@@ -284,8 +318,8 @@ class StreamDecoder:
         lo = self._a0
         view = self._an if self._tail is None else \
             np.concatenate([self._an, self._tail])
-        for mode, fs in by_mode.items():
-            pipe = cached_pipeline(self.rate, mode)
+        for (mode, cv), fs in by_mode.items():
+            pipe = cached_pipeline(self.rate, mode, mls_convention=cv)
             wins, _ = pipe.windows_at(view, [f[0].p0 - lo for f in fs])
             res = pipe.fetch(pipe.decode_windows(wins))
             for j, (c, _m, call) in enumerate(fs):
@@ -351,6 +385,7 @@ class StreamDecoder:
         frames."""
         if self._finished:
             return []
+        self._eos = self._nraw
         n_out = self._nraw - 2 * self.L
         emitted: list = []
         while self._n_chunks * self.c < n_out:

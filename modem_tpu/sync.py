@@ -155,6 +155,20 @@ class SyncCandidate:
     cfo_rad: float    # full CFO estimate (integer + fractional)
     ok: bool          # passed uniqueness + timing-error gates
     peak_ratio: float
+    conv: int = 0     # index into Synchronizer.conventions of the
+    #                   hypothesis the scalar fields above reflect
+    # Gate-passing convention hypotheses, peak-ratio-descending:
+    # (conv, p0, cfo_rad, peak_ratio) tuples.  Length 1 for a single-
+    # convention receiver; under "auto" the header stage walks these
+    # and commits the first whose OSD+CRC16 validates (the conventions
+    # emit phases of ONE m-sequence, so sync cannot separate them —
+    # see _fine_stage).  accept() commits a hypothesis.
+    alts: tuple = ()
+
+    def accept(self, alt) -> None:
+        """Commit a header-validated hypothesis into the scalar view."""
+        self.conv, self.p0, self.cfo_rad, self.peak_ratio = alt
+        self.alts = (alt,)
 
 
 class Synchronizer:
@@ -173,13 +187,26 @@ class Synchronizer:
         # (decode.cc:236-244, 76-83): kern = conj(FFT(seq)) / L.  The
         # receiver layout is offset-free (mls0_off = -mls0_len + 1,
         # decode.cc:183): the integer-CFO search absorbs the transmit
-        # frequency offset.
-        seq = np.zeros(L, dtype=np.complex64)
-        mls0 = B.mls_nrz(cfg.mls0_poly, cfg.mls0_len)
+        # frequency offset.  With mls_convention="auto" one kernel per
+        # LFSR convention is built and the fine stage picks whichever
+        # correlates best — the receiver then accepts any transmit
+        # convention (docs/WIRE_FORMAT.md; the wrong kernel has no
+        # dominant peak, so the peak>4*next gate would otherwise
+        # reject the preamble outright).
+        if cfg.mls_convention == "auto":
+            self.conventions = B.MLS_CONVENTIONS
+        else:
+            self.conventions = (cfg.mls_convention,)
         rx_off = -(cfg.mls0_len - 1)
         bins = (np.arange(cfg.mls0_len) + rx_off // 2 + L) % L
-        seq[bins] = mls0
-        self.kern = cplx.from_np(np.conj(np.fft.fft(seq)) / L)
+        kerns = []
+        for conv in self.conventions:
+            seq = np.zeros(L, dtype=np.complex64)
+            seq[bins] = B.mls_nrz(cfg.mls0_poly, cfg.mls0_len,
+                                  convention=conv)
+            kerns.append(cplx.from_np(np.conj(np.fft.fft(seq)) / L))
+        self.kerns = np.stack(kerns)                 # [K, L, 2]
+        self.kern = self.kerns[0]
 
         # mono front-end geometry for device-side PCM ingest
         # (decode.cc:294-301: dequantise + BlockDC + Hilbert)
@@ -191,10 +218,10 @@ class Synchronizer:
 
         def fine_packed(wins, fcs):
             # pack the fine stage's per-candidate outputs into one
-            # int32 block (floats bitcast): a device read is one
-            # tunnel round trip regardless of size
+            # int32 block [n, 4, K] (floats bitcast): a device read is
+            # one tunnel round trip regardless of size
             shift, pos_err, peak, nxt, _ = jax.vmap(
-                self._fine_stage)(wins, fcs)
+                self._fine_stage)(wins, fcs)        # each [n, K]
             bc = lambda v: jax.lax.bitcast_convert_type(
                 v.astype(jnp.float32), jnp.int32)
             return jnp.stack(
@@ -243,20 +270,40 @@ class Synchronizer:
     # -- stage 2: fine timing / CFO at one candidate ----------------------
     def _fine_stage(self, window, frac_cfo):
         """window: [L, 2] samples at x[p0+L : p0+2L] (second half of the
-        S&C symbol); returns (shift, pos_err, peak, next, peak_phase) —
-        decode.cc:110-146."""
+        S&C symbol); returns per-convention arrays [K] of (shift,
+        pos_err, peak, next, peak_phase) — decode.cc:110-146 run once
+        per matched kernel (K = len(self.conventions); 1 unless the
+        config is mls_convention="auto").
+
+        The kernels CANNOT be told apart here by peak dominance alone:
+        the LFSR conventions emit rotations of one m-sequence (or of
+        its time reversal — tests/test_mls_convention.py pins the
+        relations), and — the MLS0 length equalling its period — a
+        rotation by d aliases into a circular bin rotation, i.e. a
+        strong correlation peak at an integer-CFO estimate off by 2d
+        bins; even the reversed sequence's kernel was measured passing
+        the peak>4*next gate with ratio ~15 on a clean mono loopback.
+        The caller therefore keeps every gate-passing convention as a
+        ranked hypothesis and lets the header stage's OSD + CRC16
+        decide (decoder._decode_header, docs/WIRE_FORMAT.md)."""
         L = self.L
         idx = jnp.arange(L, dtype=jnp.float32)
         mixed = cplx.cmul(window, cplx.expi(frac_cfo * idx))
         spec = fft.fwd(mixed)
         prev = jnp.roll(spec, 1, axis=-2)
         cons = ofdm.demod_or_erase(spec, prev)
-        corr = fft.bwd(cplx.cmul(fft.fwd(cons), jnp.asarray(self.kern)))
-        pwr = cplx.abs2(corr)
-        shift = jnp.argmax(pwr)
-        peak = pwr[shift]
-        nxt = jnp.max(jnp.where(jnp.arange(L) == shift, -jnp.inf, pwr))
-        ang = jnp.arctan2(corr[shift, 1], corr[shift, 0])
+        cons_f = fft.fwd(cons)
+        corr = jax.vmap(lambda k: fft.bwd(cplx.cmul(cons_f, k)))(
+            jnp.asarray(self.kerns))                 # [K, L, 2]
+        pwr = cplx.abs2(corr)                        # [K, L]
+        shift = jnp.argmax(pwr, axis=-1)             # [K]
+        peak = jnp.take_along_axis(pwr, shift[:, None], -1)[:, 0]
+        nxt = jnp.max(jnp.where(
+            jnp.arange(L)[None, :] == shift[:, None], -jnp.inf, pwr),
+            axis=-1)
+        c = jnp.take_along_axis(
+            corr, shift[:, None, None], axis=1)[:, 0]        # [K, 2]
+        ang = jnp.arctan2(c[:, 1], c[:, 0])
         pos_err = jnp.round(ang * L / (2.0 * np.pi)).astype(jnp.int32)
         return shift, pos_err, peak, nxt, ang
 
@@ -742,20 +789,31 @@ class Synchronizer:
             jnp.asarray(wins),
             jnp.asarray(np.array([fc for _, fc in events],
                                  dtype=np.float32))))   # ONE fetch
-        shift = packed[:, 0]
+        shift = packed[:, 0]                             # [n, K]
         pos_err = packed[:, 1]
         peak = np.ascontiguousarray(packed[:, 2]).view(np.float32)
         nxt = np.ascontiguousarray(packed[:, 3]).view(np.float32)
+        nconv = len(self.conventions)
         out = []
         for i, (p0, fc) in enumerate(events):
-            ok = bool(peak[i] > 4.0 * nxt[i]) and \
-                bool(abs(int(pos_err[i])) <= cfg.guard_len // 2)
-            cfo = float(shift[i]) * 2.0 * np.pi / L - fc
-            if cfo >= np.pi:
-                cfo -= 2.0 * np.pi
+            alts = []
+            for k in range(nconv):
+                ok_k = bool(peak[i, k] > 4.0 * nxt[i, k]) and \
+                    bool(abs(int(pos_err[i, k])) <= cfg.guard_len // 2)
+                cfo = float(shift[i, k]) * 2.0 * np.pi / L - fc
+                if cfo >= np.pi:
+                    cfo -= 2.0 * np.pi
+                ratio = float(peak[i, k] / max(nxt[i, k], 1e-30))
+                alts.append((ok_k, ratio,
+                             (k, int(p0) - int(pos_err[i, k]), cfo,
+                              ratio)))
+            alts.sort(key=lambda a: -a[1])
+            passing = tuple(a[2] for a in alts if a[0])
+            best = passing[0] if passing else alts[0][2]
             out.append(SyncCandidate(
-                p0=int(p0) - int(pos_err[i]), frac_cfo=fc, cfo_rad=cfo,
-                ok=ok, peak_ratio=float(peak[i] / max(nxt[i], 1e-30))))
+                p0=best[1], frac_cfo=fc, cfo_rad=best[2],
+                ok=bool(passing), peak_ratio=best[3], conv=best[0],
+                alts=passing))
         return out
 
     def _pcm_windows(self, pcm, starts, out_len: int):

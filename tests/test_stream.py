@@ -236,3 +236,30 @@ def test_stream_16k_mono():
     got += sd.finish()
     assert _key(sorted(got, key=lambda f: f["pos"])) == _key(ref)
     assert got[0]["ok"] and got[0]["payload"] == payload
+
+def test_stream_truncated_frame_past_recording_end(two_frame_rec):
+    """Reference EOS semantics (decode.cc:296-297): a frame whose
+    payload window extends past the true stream end is reported
+    "past recording end" — never decoded against the silence pad."""
+    rec, payloads = two_frame_rec
+    x = cplx.from_np(rec).astype(np.float32)
+    # cut mid-payload of frame 1: keep the second frame's preamble +
+    # header but drop most of its payload rows.  Frame geometry: the
+    # stream is [1s sil | pilot | frame0 | frame1 | flush | 1s sil].
+    cfg = make_config(8000, 10, 2300)
+    fsamp = cfg.frame_samples
+    cut = 8000 + cfg.extended_len + fsamp + 4 * cfg.extended_len
+    sd = StreamDecoder(8000, channels=2, bits=None)
+    got = []
+    i = 0
+    while i < cut:
+        got += sd.feed(x[i: min(i + 7001, cut)])
+        i += 7001
+    got += sd.finish()
+    got.sort(key=lambda f: f["pos"])
+    assert len(got) == 2
+    assert got[0]["ok"] and got[0]["payload"] == payloads[0]
+    assert not got[1]["ok"]
+    assert got[1]["status"] == "past recording end"
+    # the header HAD decoded (mode known) before the truncation hit
+    assert got[1]["mode"] == 10
