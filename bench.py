@@ -243,6 +243,37 @@ def main():
                           "vs_baseline": 0.0}))
         return 1
 
+    # ---- per-stage split for the roofline ledger -----------------------
+    # (docs/PERFORMANCE.md "Roofline"): time the demod front-end and
+    # the SCL stage separately with an in-graph scalar digest (ONE
+    # fetch each; per-leaf fetches are one ~26 ms tunnel round trip
+    # EACH and would swamp the numbers).
+    def _digest(fn):
+        def run(*a):
+            out = fn(*a)
+            return sum(jnp.sum(leaf.astype(jnp.float32))
+                       for leaf in jax.tree_util.tree_leaves(out))
+        return jax.jit(run)
+
+    def _min_time(fn, argsets, reps=3):
+        np.asarray(fn(*argsets[0]))        # compile
+        best = float("inf")
+        for i in range(reps):
+            t1 = time.time()
+            np.asarray(fn(*argsets[i % len(argsets)]))
+            best = min(best, time.time() - t1)
+        return best
+
+    front_t = _min_time(
+        _digest(lambda r: jax.vmap(pipe._demod_one)(r)),
+        [(s,) for s in staged])
+    scl_fn = pipe._make_scl(batch)
+    llr_sets = [jnp.asarray(parity_llrs(pipe.code)[:1].repeat(batch, 0)
+                            * k) for k in (1.0, 1.01, 0.99)]
+    scl_t = _min_time(_digest(scl_fn), [(l,) for l in llr_sets])
+    print(f"# stages: front {front_t*1e3:.0f} ms, SCL {scl_t*1e3:.0f} "
+          f"ms of {dt*1e3:.0f} ms/batch", file=sys.stderr, flush=True)
+
     # ---- Pallas-vs-VM noisy parity on the real chip -------------------
     t0 = time.time()
     parity = scl_parity_check(pipe)
@@ -259,6 +290,14 @@ def main():
         "encode_fps": round(enc_fps, 3),
         "encode_x_realtime": round(enc_xrt, 1),
         "scl_parity_tpu": parity,
+        "front_ms_per_batch": round(front_t * 1e3, 1),
+        "scl_ms_per_batch": round(scl_t * 1e3, 1),
+        # the serving bound is the SCL kernel's serialized vector-
+        # instruction issue, not FLOPs or HBM (docs/PERFORMANCE.md
+        # "Roofline"): the whole pipeline moves ~3 GFLOP/frame
+        # (<1% MXU peak at this rate) and the SCL floor is the
+        # ~5.1k-iteration schedule at its measured per-iteration cost
+        "bound": "scl_instruction_issue",
     }))
     print(f"# {fps:.2f} frames/s = {xrt:.0f}x real time "
           f"(target 1000x); batch {batch}, {dt*1000:.0f} ms/batch",

@@ -191,11 +191,22 @@ class BatchPipeline:
         cfo = shift.astype(jnp.float32) * (2.0 * np.pi / self.sync.L) - fc
         cfo = jnp.where(cfo >= np.pi, cfo - 2.0 * np.pi, cfo)
 
-        # payload windows: pilot + rows (decode.cc:456-470)
+        # payload windows: pilot + rows (decode.cc:456-470).  One
+        # dynamic_slice + static reshape, NOT a traced-index gather:
+        # the gather of [rows+1, S] computed indices lowered to ~75 ms
+        # per 128-batch on v5e (dominating the whole demod front-end);
+        # the contiguous slice is bit-identical and free.  The slice
+        # length is exactly rows*(s+g) + s — ending at the last used
+        # sample, so a window that ends flush with the recording needs
+        # no padding (a jnp.pad of the recording here cost ~100 ms per
+        # 128-batch composed under vmap); the final row concatenates
+        # from the slice tail.
         q0 = p0 + 2 * (s + g)
-        idx = (q0 + jnp.arange(rows + 1)[:, None] * (s + g) +
-               jnp.arange(s)[None, :])
-        windows = x[idx]                              # [rows+1, S, 2]
+        flat = jax.lax.dynamic_slice(
+            x, (q0, 0), (rows * (s + g) + s, 2))
+        head = flat[: rows * (s + g)].reshape(rows, s + g, 2)[:, :s]
+        windows = jnp.concatenate(
+            [head, flat[None, rows * (s + g):]], axis=0)
         w = jnp.arange(rows + 1, dtype=jnp.float32)[:, None]
         k = jnp.arange(s, dtype=jnp.float32)[None, :]
         phase = -cfo * (s + w * (s + g) + k)
@@ -306,7 +317,12 @@ class BatchPipeline:
         in wire dtype; front-end on device)."""
         cfg = self.cfg
         s, g = cfg.symbol_len, cfg.guard_len
-        w = cfg.frame_samples + 2 * s
+        # + g//2: the payload dynamic_slice (_demod_one) ends at
+        # p0 + frame_samples + 2s - (2s + g) + ... = window end + e
+        # when sync resolves p0 e samples late (|pos_err| <= g/2,
+        # decode.cc:143-145); without the margin the slice start would
+        # clamp and shift every row by e
+        w = cfg.frame_samples + 2 * s + g // 2
         pos = np.asarray([int(p) for p in positions], dtype=np.int64)
         if isinstance(x, ingest.PcmRecording):
             if not len(pos):

@@ -1,9 +1,10 @@
 """Mode breadth: encode->decode parity across the operating-mode table.
 
-Covers both polar codes (64800/64512), both constellations (QPSK/8PSK)
-and the carrier-count extremes through the batched pipeline (BASELINE
-config 3's sweep, sampled to keep CPU test time sane; mode 6 gets the
-full interactive-decoder treatment in test_loopback.py).
+ALL 8 wire modes loopback through the batched pipeline — both polar
+codes (64800/64512), both constellations (QPSK/8PSK), and every
+cons_cols tiling (432/400/360/512/384/256; BASELINE config 3's sweep).
+Mode 6 additionally gets the full interactive-decoder treatment in
+test_loopback.py.
 """
 
 import numpy as np
@@ -11,15 +12,11 @@ import pytest
 
 from modem_tpu import bits as B
 from modem_tpu.encoder import Encoder
-from modem_tpu.numerology import make_config
+from modem_tpu.numerology import MODES, make_config
 from modem_tpu.pipeline import BatchPipeline
 
-# mode 6: 8PSK/64800/432 cols; 8: QPSK/64800; 10: 8PSK/64512/512 cols;
-# 13: QPSK/64512/256 cols (the extremes of the table)
-SAMPLED_MODES = [6, 8, 10, 13]
 
-
-@pytest.mark.parametrize("mode", SAMPLED_MODES)
+@pytest.mark.parametrize("mode", sorted(MODES))
 def test_mode_loopback_pipeline(mode):
     cfg = make_config(8000, mode, 2000)
     enc = Encoder(cfg)

@@ -107,3 +107,21 @@ def test_noise_only_finds_no_preamble():
     res = Decoder(8000).decode(noise.astype(np.complex64), channels=2)
     assert not res.ok
     assert res.payload is None
+
+
+def test_loopback_44k_real_mono():
+    """Mono real-channel decode at 44.1 kHz: the 113-tap Hilbert +
+    DC-block front-end over the mixed-radix (7056) symbol — the
+    high-rate mono coverage VERDICT r3 flagged as chip-sweep-only."""
+    from modem_tpu.decoder import Decoder
+
+    cfg = make_config(44100, 13, 2000)
+    enc = Encoder(cfg)
+    rng = np.random.default_rng(441)
+    payload = rng.integers(0, 256, cfg.mode.data_bytes,
+                           dtype=np.uint8).tobytes()
+    wave, _ = enc.encode(payload, B.base37_encode("N0CALL"))
+    sil = np.zeros(cfg.rate // 8, dtype=np.float32)
+    rec = np.concatenate([sil, wave.real.astype(np.float32), sil])
+    res = Decoder(44100).decode(rec, channels=1)
+    assert res.ok and res.payload == payload
