@@ -217,17 +217,25 @@ def main():
     # every rep decodes a DISTINCT encoded batch (disjoint payload
     # sets 1-3; set 0 warmed the compile above) and fetches a result
     # to host: block_until_ready does not actually block through the
-    # axon tunnel, and identical inputs could be memoized.  Inputs are
-    # staged on device outside the timed loop.  (Scalar-scaled copies
-    # of ONE batch defeated memoization but re-timed the same
-    # sync/demod workload — VERDICT r3 weak #4.)
-    staged = []
-    for ps in payload_sets[1:]:
-        w, _ = enc.encode_batch(ps, call)
-        staged.append(jnp.asarray(cplx.from_np(
-            np.concatenate([sil, w, sil], axis=1))))
-    for s in staged:
-        s.block_until_ready()
+    # axon tunnel, and identical inputs could be memoized.  (Scalar-
+    # scaled copies of ONE batch defeated memoization but re-timed the
+    # same sync/demod workload — VERDICT r3 weak #4.)  Staging happens
+    # entirely ON DEVICE — encode the batch and splice the silence
+    # pads in one jit from the already-staged message bits: fetching
+    # the float waveforms to host only to re-upload them moved ~180 MB
+    # per staged batch through the ~20-40 MB/s tunnel.
+    sil_len = cfg.rate // 4
+
+    def _stage(m, f):
+        wave, _papr = jax.vmap(
+            lambda mm, ff: enc._encode_traced(mm[None], ff[None], 1))(
+            m, f)
+        z = jnp.zeros((wave.shape[0], sil_len, 2), jnp.float32)
+        return jnp.concatenate([z, wave, z], axis=1)
+
+    stage_jit = jax.jit(_stage)
+    staged = [stage_jit(m, meta) for m in mesg_sets[1:]]
+    np.asarray(jnp.sum(staged[-1]))        # force staging off the clock
     t0 = time.time()
     oks = []
     for i in range(reps):

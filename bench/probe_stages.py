@@ -16,29 +16,33 @@ sys.path.insert(0, ".")
 
 def clock(name, fn, *argsets):
     """argsets: >=1 tuples of args; distinct inputs defeat any
-    result memoization in the remote runtime."""
+    result memoization in the remote runtime.
+
+    The digest is computed INSIDE one jit so each rep costs exactly
+    ONE host fetch: fetching a per-leaf digest costs one ~26 ms tunnel
+    round trip PER LEAF and swamped the round-3 stage numbers
+    (docs/PERFORMANCE.md trap 8 corollary)."""
     import jax
     import jax.numpy as jnp
 
-    def force(o):
-        # block_until_ready does NOT block through the axon tunnel
-        # (CLAUDE.md trap): fetch a scalar digest of every output leaf
-        # to force completion while moving only bytes.
-        for leaf in jax.tree_util.tree_leaves(o):
-            np.asarray(jnp.sum(leaf.astype(jnp.float32)))
+    @jax.jit
+    def digest(*a):
+        out = fn(*a)
+        return sum(jnp.sum(leaf.astype(jnp.float32))
+                   for leaf in jax.tree_util.tree_leaves(out))
 
     t0 = time.time()
-    out = fn(*argsets[0])
-    force(out)
+    np.asarray(digest(*argsets[0]))
     t1 = time.time()
     reps = 4
+    best = float("inf")
     for i in range(reps):
-        out = fn(*argsets[(i + 1) % len(argsets)])
-        force(out)
-    t2 = time.time()
+        t2 = time.time()
+        np.asarray(digest(*argsets[(i + 1) % len(argsets)]))
+        best = min(best, time.time() - t2)
     print(f"{name}: compile+1st {t1 - t0:.1f} s, "
-          f"steady {(t2 - t1) * 1e3 / reps:.1f} ms", flush=True)
-    return out
+          f"steady(min) {best * 1e3:.1f} ms incl. one fetch",
+          flush=True)
 
 
 def main():

@@ -40,9 +40,12 @@ def _read_input(name: str, single: bool) -> bytes:
         try:
             f = open(name, "rb")
         except OSError:
-            print(f'Couldn\'t open file "{name}" for reading.',
-                  file=sys.stderr)           # encode.cc:411-413
-            raise SystemExit(1)
+            # Reference parity quirk (encode.cc:410-413): the error
+            # branch tests ifstream::bad(), which a FAILED OPEN does
+            # not set (that sets failbit) — so the reference prints
+            # nothing and silently encodes an 0xFF-filled payload
+            # (every get() returns EOF).  Match that, quirk and all.
+            return b"\xff" * DATA_BYTES
         with f:
             data = f.read(DATA_BYTES)
     return data.ljust(DATA_BYTES, b"\xff")  # ifstream.get() past EOF

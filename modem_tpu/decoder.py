@@ -361,10 +361,14 @@ class Decoder:
             dec = self._device_scl_cache.get(mode.cons_bits)
             if dec is None:
                 if jax.default_backend() == "cpu":
-                    from .fec.scl_vm import make_decoder
-                    dec = jax.jit(make_decoder(code.frozen,
-                                               self.list_size,
-                                               exact=self.scl_exact))
+                    # process-wide cache: the wire-size VM compile
+                    # costs minutes on XLA-CPU and is identical across
+                    # Decoder instances
+                    from .fec.scl_vm import cached_jit_decoder
+                    dec = cached_jit_decoder(
+                        np.asarray(code.frozen,
+                                   dtype=np.uint8).tobytes(),
+                        self.list_size, self.scl_exact)
                 else:
                     # Pallas kernel: seconds to compile vs minutes for
                     # the 10k-op scan graph through the remote compiler

@@ -787,3 +787,21 @@ def make_decoder(frozen: np.ndarray, list_size: int = 8,
         return codeword, pm
 
     return decode
+
+
+@functools.lru_cache(maxsize=None)
+def cached_jit_decoder(frozen_key: bytes, list_size: int = 8,
+                       exact: bool = True,
+                       decompose_spc: bool = False):
+    """Process-wide JITTED single-frame decoder cache.
+
+    make_decoder returns a fresh closure per call, so jax's jit cache
+    never hits across Decoder instances — on XLA-CPU each wire-size VM
+    compile costs minutes, and a test suite constructing ~10 Decoders
+    paid it ~10 times.  Key = the frozen mask bytes + the semantic
+    flags (exactly build_schedule's cache key plus the leaf rules).
+    """
+    import jax
+    frozen = np.frombuffer(frozen_key, dtype=np.uint8)
+    return jax.jit(make_decoder(frozen, list_size, exact,
+                                decompose_spc))

@@ -160,3 +160,19 @@ def test_cli_impair_mono_semantics(tmp_path):
     noise = y - np.clip(xq, -1, 1)
     power_db = 10 * np.log10(np.mean(noise**2))
     assert abs(power_db - (-20.0)) < 0.5     # full stated power
+
+
+def test_encode_missing_input_silently_encodes_ff(tmp_path):
+    """Reference parity quirk (encode.cc:410-413): the open-failure
+    branch tests ifstream::bad(), which a failed open does NOT set —
+    the reference prints nothing and encodes an 0xFF-filled payload."""
+    from modem_tpu.cli import _read_input
+    from modem_tpu.numerology import DATA_BYTES
+    import io, contextlib
+
+    err = io.StringIO()
+    with contextlib.redirect_stderr(err):
+        data = _read_input(str(tmp_path / "no_such_file.dat"),
+                           single=True)
+    assert data == b"\xff" * DATA_BYTES
+    assert err.getvalue() == ""
