@@ -142,7 +142,10 @@ def main():
     from modem_tpu.pipeline import BatchPipeline
     import jax.numpy as jnp
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    # default 256: measured 607.6 fps vs 581.6 at 128 (the fixed
+    # ~26 ms result-fetch round trip and encode dispatch amortize;
+    # staged inputs live on device so HBM is the only cost, ~1.1 GB)
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     cfg = make_config(8000, 6, 2000)
     enc = Encoder(cfg)
     rng = np.random.default_rng(0)
