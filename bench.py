@@ -241,10 +241,19 @@ def main():
     np.asarray(jnp.sum(staged[-1]))        # force staging off the clock
     t0 = time.time()
     oks = []
+    pending = None
     for i in range(reps):
         res = pipe.decode_batch(staged[i % 3])
         oks.append(res["ok"])
-        np.asarray(res["flips"])
+        # pipelined result fetch: retire the PREVIOUS rep's result
+        # while this rep computes (dispatch is async; a fetch is one
+        # ~26 ms tunnel round trip that a serving loop overlaps with
+        # compute exactly like this).  The final fetch lands inside
+        # the timed window, so every rep's compute is fully counted.
+        if pending is not None:
+            np.asarray(pending)
+        pending = res["flips"]
+    np.asarray(pending)
     dt = (time.time() - t0) / reps
     fps = batch / dt
     xrt = fps * frame_s

@@ -564,14 +564,17 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                 at_all = jnp.where(sel, at.astype(jnp.float32), at_all)
                 pw_all = jnp.where(sel, pw, pw_all)
                 m_all = jnp.where(sel, m, m_all)
-                at_p = jnp.round(jnp.dot(
-                    fsel, at.astype(jnp.float32),
-                    preferred_element_type=jnp.float32)).astype(
-                    jnp.int32)                                  # [P, 1]
-                pw_p = jnp.round(jnp.dot(
-                    fsel, pw,
-                    preferred_element_type=jnp.float32)).astype(
-                    jnp.int32)
+                # ONE frame->lane dot for both winner coordinates
+                # (at < P, pw <= 128: bf16-exact, so the columns ride
+                # one [P, F] @ [F, 2] matmul instead of two — the
+                # small-dot MXU latency is per ISSUE, not per column)
+                apw = jnp.dot(
+                    fsel,
+                    jnp.concatenate([at.astype(jnp.float32), pw],
+                                    axis=1),
+                    preferred_element_type=jnp.float32)         # [P, 2]
+                at_p = jnp.round(apw[:, 0:1]).astype(jnp.int32)
+                pw_p = jnp.round(apw[:, 1:2]).astype(jnp.int32)
                 hit = (lane_col == at_p) & (i128 == pw_p)
                 cand = jnp.where(hit, BIG, cand)
                 return cand, at_all, pw_all, m_all
