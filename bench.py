@@ -276,11 +276,15 @@ def main():
         return jax.jit(run)
 
     def _min_time(fn, argsets, reps=3):
+        """argsets[0] warms the compile and is NEVER re-timed: an
+        identical graph+input call may be memoized by the remote
+        runtime (CLAUDE.md trap) and min() would keep the cached rep."""
         np.asarray(fn(*argsets[0]))        # compile
+        timed = argsets[1:]
         best = float("inf")
         for i in range(reps):
             t1 = time.time()
-            np.asarray(fn(*argsets[i % len(argsets)]))
+            np.asarray(fn(*timed[i % len(timed)]))
             best = min(best, time.time() - t1)
         return best
 

@@ -186,12 +186,14 @@ class Decoder:
         alts = cand.alts or ((cand.conv, cand.p0, cand.cfo_rad,
                               cand.peak_ratio),)
         first_fail = None
+        first_fail_pend: list[str] = []
         for alt in alts:
             conv, p0, cfo_rad, _ratio = alt
-            lo = p0 + s + g
-            if lo < 0 or lo + s > len(x):
+            pend: list[str] = []
+            if p0 + s + g < 0 or p0 + 2 * s + g > len(x):
                 fail = (None, "header window out of range")
             else:
+                lo = p0 + s + g
                 soft = self._header_jit(jnp.asarray(x[lo: lo + s]),
                                         jnp.float32(cfo_rad),
                                         jnp.int32(conv))
@@ -200,12 +202,23 @@ class Decoder:
                     fail = (None, "OSD error.")
                 else:
                     hdr, status = self._validate_header(
-                        np.asarray(data), emit)
+                        np.asarray(data), pend.append)
                     if hdr is not None:
                         cand.accept(alt)
+                        for line in pend:
+                            emit(line)
                         return hdr, status
                     fail = (None, status)
-            first_fail = first_fail or fail
+            if first_fail is None:
+                # report (and transcribe) only the BEST-ranked
+                # hypothesis's failure — what a single-kernel
+                # reference receiver would print (decode.cc:417-446);
+                # emitting every hypothesis's diagnostics would
+                # duplicate transcript lines under "auto"
+                first_fail = fail
+                first_fail_pend = pend
+        for line in first_fail_pend:
+            emit(line)
         return first_fail
 
     # -- batched header path (serving; decode.cc:398-446 over all

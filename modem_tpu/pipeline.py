@@ -58,6 +58,13 @@ class BatchPipeline:
         latency-dominated, so wider tiles amortize it).  0 = auto: the
         largest F with P <= 128 whose scratch fits VMEM and which
         divides the batch."""
+        if mls_convention == "auto":
+            # _demod_one pins kernel index 0; silently accepting
+            # "auto" would decode a foreign convention as noise
+            raise ValueError(
+                "BatchPipeline needs a committed mls_convention (the "
+                "batch path knows its framing); use "
+                "decode_recording_auto / Decoder for auto-detect")
         mode = mode_spec if mode_spec is not None else MODES[oper_mode]
         self.cfg = ModemConfig(rate=rate, mode=mode, freq_off=0,
                                symbol_len_override=symbol_len_override,

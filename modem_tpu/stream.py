@@ -47,6 +47,7 @@ import numpy as np
 
 from . import bits as B
 from . import cplx
+from .numerology import MODES, ModemConfig
 from .sync import _BLK
 
 
@@ -247,8 +248,17 @@ class StreamDecoder:
 
     def _decode_headers(self, emitted: list) -> None:
         s, g = self.cfg.symbol_len, self.cfg.guard_len
+
+        def hdr_end(c):
+            # every convention hypothesis's window must be buffered
+            # (alts' p0 differ by up to ~g under "auto"; gating on the
+            # best-ranked one alone could mark a later-positioned true
+            # hypothesis "past recording end" mid-stream)
+            ps = [p for _k, p, _cf, _r in c.alts] or [c.p0]
+            return max(ps) + 2 * s + g
+
         ready = [c for c in self._cands
-                 if c.p0 + 2 * s + g <= self._an_end()] \
+                 if hdr_end(c) <= self._an_end()] \
             if not self._finished else list(self._cands)
         if not ready:
             return
@@ -298,7 +308,11 @@ class StreamDecoder:
         rest = []
         for f in self._frames:
             c, mode, call = f
-            fsamp = cached_pipeline(self.rate, mode).cfg.frame_samples
+            # frame_samples is convention-independent; do NOT build a
+            # BatchPipeline just to read it (that would construct and
+            # cache an unused default-convention pipeline)
+            fsamp = ModemConfig(rate=self.rate, mode=MODES[mode],
+                                freq_off=0).frame_samples
             if self._finished and c.p0 + fsamp - g > self._eos:
                 # frame truncated by the true stream end: its tail
                 # would decode against the silence pad (see
@@ -307,7 +321,11 @@ class StreamDecoder:
                     pos=int(c.p0), mode=mode, call_sign=call, ok=False,
                     payload=b"", flips=None, snr=None,
                     status="past recording end"))
-            elif self._finished or c.p0 + fsamp - g <= self._an_end():
+            # + g//2: windows_at slices through p0 + fsamp - g + g//2
+            # (the late-sync margin); gate on the window TAIL so the
+            # stream never zero-fills samples the batch path reads
+            elif self._finished or \
+                    c.p0 + fsamp - g + g // 2 <= self._an_end():
                 cv = self.sync.conventions[getattr(c, "conv", 0)]
                 by_mode.setdefault((mode, cv), []).append(f)
             else:

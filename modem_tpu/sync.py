@@ -206,7 +206,6 @@ class Synchronizer:
                                   convention=conv)
             kerns.append(cplx.from_np(np.conj(np.fft.fft(seq)) / L))
         self.kerns = np.stack(kerns)                 # [K, L, 2]
-        self.kern = self.kerns[0]
 
         # mono front-end geometry for device-side PCM ingest
         # (decode.cc:294-301: dequantise + BlockDC + Hilbert)

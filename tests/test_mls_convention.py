@@ -129,3 +129,11 @@ def test_headers_batch_commits_detected_convention(fibonacci_wave):
     assert B.base37_decode(call).lstrip() == "N0CALL"
     assert dec.sync.conventions[cands[0].conv] == "fibonacci"
     assert abs(cands[0].cfo_rad * 8000 / (2 * np.pi) - 2000.0) < 1.0
+
+
+def test_batch_pipeline_rejects_auto():
+    """The batch path pins one matched kernel; silently accepting
+    'auto' would decode a foreign convention as noise."""
+    from modem_tpu.pipeline import BatchPipeline
+    with pytest.raises(ValueError, match="auto"):
+        BatchPipeline(8000, 6, mls_convention="auto")
