@@ -74,6 +74,26 @@ def main():
               f"max {max(lat)*1e3:.0f} ms")
     assert ok == n_frames
 
+    # file-replay mode: the whole stream in ONE feed — every chunk is
+    # ready at once, so the scan runs its vmapped multi-chunk
+    # super-batches (StreamDecoder.MAX_CHUNKS_PER_FEED; the CLI uses
+    # ~16 s feeds for seekable files)
+    def replay():
+        sd = StreamDecoder(rate, channels=1, bits=16)
+        t0 = time.time()
+        got = sd.feed(mono)
+        got += sd.finish()
+        return got, time.time() - t0
+
+    got_r, wall_r = replay()        # warm-up (m>1 graphs compile)
+    got_r, wall_r = replay()
+    ok_r = sum(f["ok"] and f["payload"] == payloads[i]
+               for i, f in enumerate(sorted(got_r,
+                                            key=lambda f: f["pos"])))
+    print(f"file replay (single feed): {ok_r}/{n_frames} byte-exact, "
+          f"wall {wall_r:.2f} s -> {audio_s / wall_r:.0f}x real time")
+    assert ok_r == n_frames
+
 
 if __name__ == "__main__":
     main()

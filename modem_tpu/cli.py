@@ -293,8 +293,17 @@ def cmd_decode_stream(argv: list[str]) -> int:
     # sentinels (size unknown at header-write time: read to EOF)
     if data_left in (0, 0xFFFFFFFF):
         data_left = None
+    # live pipes read ~1 s per feed (pacing comes from the source);
+    # seekable files replay in ~16 s blocks so the stream's scan runs
+    # its vmapped multi-chunk super-batches (StreamDecoder
+    # MAX_CHUNKS_PER_FEED) instead of one dispatch per chunk
+    try:
+        seekable = f.seekable()
+    except Exception:
+        seekable = False
+    feed_seconds = 16 if seekable else 1
     while data_left is None or data_left > 0:
-        want = rate * block                # ~1 s of audio per feed
+        want = rate * block * feed_seconds
         if data_left is not None:
             want = min(want, data_left)
         got = f.read(want)

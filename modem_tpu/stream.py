@@ -191,35 +191,53 @@ class StreamDecoder:
 
     # -- the incremental scan ----------------------------------------------
 
-    def _run_chunk(self, n0: int) -> list:
-        """One m=1 super-batch of the chunked scan at chunk start n0;
-        returns raw (edge, n_max, phase) events (sync._events_device's
-        per-chunk step with the carries threaded on this object)."""
+    # Ready chunks per feed() batch in pow2 super-batches up to this
+    # (the offline scan's vmapped path, sync.MAX_CHUNKS_PER_CALL):
+    # live pacing delivers <1 chunk per feed (m=1, one compiled graph),
+    # while file replay with large feeds amortizes the per-call
+    # dispatch 16x.  The cross-chunk Schmitt/argmax carries compose
+    # inside the batch exactly as offline (_extract_batch_fn).
+    MAX_CHUNKS_PER_FEED = 16
+
+    def _run_chunks(self, n0: int, m: int) -> list:
+        """One m-chunk super-batch of the chunked scan starting at
+        chunk start n0; returns raw (edge, n_max, phase) events
+        (sync._events_device's step with the carries threaded on this
+        object)."""
         retain = self.front is not None
         fn = self.sync._extract_batch_fn(
-            self.c, self.ctx, self.EDGES_PER_CHUNK, 1, self.front,
+            self.c, self.ctx, self.EDGES_PER_CHUNK, m, self.front,
             retain)
-        lo = n0 - self.ctx - self.fl
-        seg = self._raw_slice(lo, n0 + self.c + 2 * self.L)
-        n0s = np.asarray([n0], np.int32)
+        segs = np.stack([self._raw_slice(
+            n0 + j * self.c - self.ctx - self.fl,
+            n0 + j * self.c + self.c + 2 * self.L) for j in range(m)])
+        n0s = np.asarray([n0 + j * self.c for j in range(m)], np.int32)
         if retain:
             edges, nmax, ph, self._st, self._mx, keep = fn(
-                seg[None], n0s, self._st, self._mx)
-            k = np.asarray(keep)[0]
-            self._tail = k[self.c:]
-            self._an = (np.concatenate([self._an, k[:self.c]])
-                        if len(self._an) else k[:self.c].copy())
+                segs, n0s, self._st, self._mx)
+            k = np.asarray(keep)
+            canon = np.ascontiguousarray(
+                k[:, :self.c].reshape(-1, 2))
+            self._tail = k[-1, self.c:]
+            self._an = (np.concatenate([self._an, canon])
+                        if len(self._an) else canon)
         else:
             edges, nmax, ph, self._st, self._mx = fn(
-                seg[None], n0s, self._st, self._mx)
+                segs, n0s, self._st, self._mx)
             self._tail = None          # float _an already covers it
-        self._n_chunks += 1
-        edges, nmax, ph = (np.asarray(v)[0] for v in (edges, nmax, ph))
+        self._n_chunks += m
+        edges, nmax, ph = (np.asarray(v) for v in (edges, nmax, ph))
         out = []
-        for e, nm, p_ in zip(edges, nmax, ph):
-            if e >= 0:
-                out.append((int(n0 + e), int(nm), float(p_)))
+        for j in range(m):
+            for e, nm, p_ in zip(edges[j], nmax[j], ph[j]):
+                if e >= 0:
+                    out.append((int(n0s[j] + e), int(nm), float(p_)))
         return out
+
+    def _ready_chunks(self) -> int:
+        """Chunks whose full metric window is buffered."""
+        fit = (self._nraw - self.c - 2 * self.L) // self.c
+        return max(0, int(fit) + 1 - self._n_chunks)
 
     def _events_from(self, raw_events) -> None:
         self._events.extend(self.sync.assemble_events(raw_events))
@@ -386,9 +404,14 @@ class StreamDecoder:
             raise RuntimeError("stream already finished")
         self._append_raw(self._norm(samples))
         emitted: list = []
-        while (self._n_chunks * self.c + self.c + 2 * self.L
-               <= self._nraw):
-            self._events_from(self._run_chunk(self._n_chunks * self.c))
+        while True:
+            rem = self._ready_chunks()
+            if rem <= 0:
+                break
+            m = min(self.MAX_CHUNKS_PER_FEED,
+                    1 << (rem.bit_length() - 1))
+            self._events_from(
+                self._run_chunks(self._n_chunks * self.c, m))
         self._finalize_events()
         self._decode_headers(emitted)
         self._decode_payloads(emitted)
@@ -407,7 +430,10 @@ class StreamDecoder:
         n_out = self._nraw - 2 * self.L
         emitted: list = []
         while self._n_chunks * self.c < n_out:
-            evs = self._run_chunk(self._n_chunks * self.c)
+            rem = -(-(n_out - self._n_chunks * self.c) // self.c)
+            m = min(self.MAX_CHUNKS_PER_FEED,
+                    1 << (rem.bit_length() - 1))
+            evs = self._run_chunks(self._n_chunks * self.c, m)
             self._events_from([e for e in evs if e[0] < n_out])
         self._finished = True
         self._finalize_events()

@@ -263,3 +263,31 @@ def test_stream_truncated_frame_past_recording_end(two_frame_rec):
     assert got[1]["status"] == "past recording end"
     # the header HAD decoded (mode known) before the truncation hit
     assert got[1]["mode"] == 10
+
+def test_stream_single_big_feed_matches_batch(two_frame_rec):
+    """Whole-recording single feed: every chunk is ready at once, so
+    the scan runs multi-chunk super-batches (m up to 16) — the file-
+    replay fast path must produce exactly the live-paced result."""
+    rec, payloads = two_frame_rec
+    x = cplx.from_np(rec).astype(np.float32)
+    ref = decode_recording_auto(x.copy(), 8000, channels=2)
+    sd = StreamDecoder(8000, channels=2, bits=None)
+    got = sd.feed(x)
+    got += sd.finish()
+    assert _key(sorted(got, key=lambda f: f["pos"])) == _key(ref)
+    assert [f["payload"] for f in got if f["ok"]] == payloads
+
+def test_stream_big_feed_mono_int16(two_frame_rec):
+    """Same through the wire-dtype retain path (mono int16): the
+    multi-chunk retain keep-blocks must assemble the identical
+    analytic buffer."""
+    rec, payloads = two_frame_rec
+    mono = np.clip(np.rint(rec.real * 32767), -32768,
+                   32767).astype(np.int16)
+    pcm = PcmRecording(data=mono, bits=16, rate=8000)
+    ref = decode_recording_auto(pcm, 8000, channels=1)
+    sd = StreamDecoder(8000, channels=1, bits=16)
+    got = sd.feed(mono)
+    got += sd.finish()
+    assert _key(sorted(got, key=lambda f: f["pos"])) == _key(ref)
+    assert [f["payload"] for f in got if f["ok"]] == payloads
