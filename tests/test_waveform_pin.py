@@ -45,6 +45,30 @@ def test_mode6_waveform_fingerprint():
     assert frac < 0.005, f"waveform changed ({frac:.2%} samples differ)"
 
 
+def test_golden_recording_decodes():
+    """RX side of the tripwire: a FROZEN on-disk recording (16-bit
+    stereo WAV of a seeded mode-6 encode, generated once and checked
+    in) must keep decoding byte-exact.  The fingerprint test above
+    pins the transmitter; this pins the receiver against the same
+    frozen wire format — a decoder-side convention change (MLS kernel,
+    window placement, demap sign) fails HERE even if encoder and
+    decoder drift together in fresh loopbacks.  An intentional format
+    change regenerates BOTH fixtures (CLAUDE.md wire-format rule)."""
+    from modem_tpu import wav
+    from modem_tpu.decoder import Decoder
+
+    payload = np.load(os.path.join(
+        _DATA, "waveform_pin_payload_seed.npy")).tobytes()
+    data = wav.read_wav(os.path.join(
+        _DATA, "golden_mode6_galois.wav"))
+    assert data.rate == 8000 and data.channels == 2
+    res = Decoder(8000).decode(data.samples[:, :2], channels=2)
+    assert res.ok, res.status
+    assert res.payload == payload
+    assert res.oper_mode == 6
+    assert res.call_sign == "N0CALL"
+
+
 def test_mls_sequence_value_pins():
     """First bits of each MLS sequence per convention: the property
     tests (test_mls_convention) prove m-sequence-ness but would pass
