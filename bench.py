@@ -142,10 +142,11 @@ def main():
     from modem_tpu.pipeline import BatchPipeline
     import jax.numpy as jnp
 
-    # default 256: measured 607.6 fps vs 581.6 at 128 (the fixed
-    # ~26 ms result-fetch round trip and encode dispatch amortize;
-    # staged inputs live on device so HBM is the only cost, ~1.1 GB)
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    # default 512: measured 635.5 fps vs 626.9 at 256 and 581.6 at 128
+    # (the fixed ~26 ms result-fetch round trip and per-call dispatch
+    # amortize: SCL 1.553 -> 1.503 ms/frame going 256 -> 512; staged
+    # inputs live on device so HBM is the only cost, ~2.3 GB at 512)
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     cfg = make_config(8000, 6, 2000)
     enc = Encoder(cfg)
     rng = np.random.default_rng(0)
