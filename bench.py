@@ -52,6 +52,27 @@ def parity_llrs(code):
     return llrs
 
 
+def _parity_cache_key(llrs):
+    """Content hash of everything the CPU VM reference depends on:
+    the fec package sources (schedule builder, polar construction,
+    oracle rules) and the exact seeded LLR inputs.  Any fec/ edit or
+    input change invalidates the cache; the Pallas-on-TPU side of the
+    parity check always runs fresh, so caching the REFERENCE half
+    loses no checking power — it only removes a recompute whose cost
+    varied 11-955 s with the XLA CPU compile cache."""
+    import hashlib
+    h = hashlib.sha256()
+    fec_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "modem_tpu", "fec")
+    for name in sorted(os.listdir(fec_dir)):
+        if name.endswith(".py"):
+            with open(os.path.join(fec_dir, name), "rb") as f:
+                h.update(name.encode() + b"\0" + f.read())
+    h.update(np.ascontiguousarray(llrs).tobytes())
+    h.update(b"list8")
+    return h.hexdigest()[:24]
+
+
 def vm_reference_subprocess(out_path):
     """Run the XLA VM on the parity batch in a clean CPU process."""
     prog = (
@@ -93,8 +114,18 @@ def scl_parity_check(pipe):
     cw = pipe.code.encode_systematic_np(m)
     scl = pipe._make_scl(PARITY_FRAMES)
     cws_p, pm_p = (np.asarray(v) for v in scl(jnp.asarray(llrs)))
-    with tempfile.TemporaryDirectory() as td:
-        ref = vm_reference_subprocess(os.path.join(td, "vm.npz"))
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".bench_cache")
+    cache = os.path.join(
+        cache_dir, f"scl_vm_parity_{_parity_cache_key(llrs)}.npz")
+    if os.path.exists(cache):
+        ref = np.load(cache)
+    else:
+        os.makedirs(cache_dir, exist_ok=True)
+        with tempfile.TemporaryDirectory() as td:
+            ref = vm_reference_subprocess(os.path.join(td, "vm.npz"))
+            np.savez(cache, cws=ref["cws"], pm=ref["pm"])
+            ref = np.load(cache)
     cws_r, pm_r = ref["cws"], ref["pm"]
     hits_p = (cws_p == cw).all(axis=2).any(axis=1)
     hits_r = (cws_r == cw).all(axis=2).any(axis=1)
