@@ -233,7 +233,13 @@ def main():
     recs = np.concatenate([sil, waves, sil], axis=1)
 
     # ---- decode (batched, one jit) ------------------------------------
-    pipe = BatchPipeline(8000, 6)
+    # MODEM_SCL_UNROLL=1 serves the trace-time-expanded SCL kernel
+    # (no schedule-interpreter overhead; costs a long one-time trace,
+    # docs/SCL_KERNEL.md §7i); unset follows pipeline.SCL_UNROLL_DEFAULT
+    unroll_env = os.environ.get("MODEM_SCL_UNROLL")
+    pipe = BatchPipeline(8000, 6,
+                         scl_unroll=None if unroll_env is None
+                         else unroll_env == "1")
     t0 = time.time()
     print("# compiling batched decode...", file=sys.stderr, flush=True)
     res = pipe.decode_batch(recs)              # compile

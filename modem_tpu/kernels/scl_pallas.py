@@ -72,7 +72,8 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                         interpret: bool = False, ops_override=None,
                         beta_bf16: bool = True, exact: bool = True,
                         decompose_spc: bool = False,
-                        rank_select: bool = False):
+                        rank_select: bool = False,
+                        unroll: bool = False):
     """Compile the Pallas SCL decoder for one frozen mask.
 
     Returns fn: llrs [batch, code_len] f32 -> (codewords [batch, L,
@@ -91,6 +92,15 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
     False); decompose_spc=True instead decomposes SPC nodes into
     subtrees (the round-2 exact path, ~2x the ops; cross-check
     oracle).
+
+    unroll=True expands the static schedule at trace time instead of
+    running the fori_loop/switch interpreter: every operand offset,
+    node width, roll amount and mask bound becomes a compile-time
+    constant and the per-iteration op-table scalar reads (16 dynamic
+    VMEM loads/op — the measured ~2.4 us/iteration serial overhead,
+    docs/SCL_KERNEL.md §7) disappear entirely, at the cost of a
+    schedule-length-proportional Mosaic program.  Bit-exact: the
+    expansion calls the same op bodies with the same values.
 
     rank_select=True replaces the L serial min-extraction rounds in
     both fork selectors with single-pass rank computations (all
@@ -801,8 +811,15 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
 
         return select
 
-    def kernel(ops_ref, llr_in_ref, cw_ref, pm_ref, llr_d0, llr_s,
-               beta_s, llr2_s, beta2_s, refs_s, pm_s, tbl_s):
+    def kernel(*_refs):
+        if unroll:
+            # static expansion needs no instruction table on device
+            ops_ref = None
+            (llr_in_ref, cw_ref, pm_ref, llr_d0, llr_s,
+             beta_s, llr2_s, beta2_s, refs_s, pm_s, tbl_s) = _refs
+        else:
+            (ops_ref, llr_in_ref, cw_ref, pm_ref, llr_d0, llr_s,
+             beta_s, llr2_s, beta2_s, refs_s, pm_s, tbl_s) = _refs
         # ---- per-cell init -------------------------------------------
         for r in range(n_rows):
             rows = llr_in_ref[0, :, r, :]                  # [F, CHUNK]
@@ -866,6 +883,13 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
             beta2_s[brow] = val.astype(beta_dt)
 
         def reset_ref(idx, last):
+            if isinstance(last, (int, np.integer)):
+                # static schedule row (unroll mode, or a literal 1
+                # from a fused op): resolve the guard at trace time
+                if last > 0:
+                    refs_s[pl.ds(idx, 1)] = iota2((1, PW), 1)
+                return
+
             @pl.when(last > 0)
             def _():
                 refs_s[pl.ds(idx, 1)] = iota2((1, PW), 1)
@@ -931,11 +955,10 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
             hoisted_tables = False
 
         # ---- schedule interpreter ------------------------------------
-        def body(i, _):
-            op = ops_ref[i, C_OP]
-            d = ops_ref[i, C_D]
-            width = ops_ref[i, C_WIDTH]
-            last = ops_ref[i, C_LAST]
+        def make_branches(get):
+            d = get(C_D)
+            width = get(C_WIDTH)
+            last = get(C_LAST)
 
             def f_of(a, b):
                 return (jnp.sign(a) * jnp.sign(b)
@@ -943,72 +966,72 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
 
             # ---- tier-1 full-width internal ops ----------------------
             def do_f(_):
-                a = read_llr(d, ops_ref[i, C_SRC])
-                b = read_llr(d, ops_ref[i, C_SRC2])
-                put_llr(ops_ref[i, C_DST], f_of(a, b))
+                a = read_llr(d, get(C_SRC))
+                b = read_llr(d, get(C_SRC2))
+                put_llr(get(C_DST), f_of(a, b))
                 reset_ref(d + 1, last)
                 return 0
 
             def do_g(_):
-                a = read_llr(d, ops_ref[i, C_SRC])
-                b = read_llr(d, ops_ref[i, C_SRC2])
-                bl = read_beta(ops_ref[i, C_SIDR], ops_ref[i, C_BSRC])
-                put_llr(ops_ref[i, C_DST], b + bl * a)
+                a = read_llr(d, get(C_SRC))
+                b = read_llr(d, get(C_SRC2))
+                bl = read_beta(get(C_SIDR), get(C_BSRC))
+                put_llr(get(C_DST), b + bl * a)
                 reset_ref(d + 1, last)
                 return 0
 
             def do_combine(_):
-                bl = read_beta(ops_ref[i, C_SIDR], ops_ref[i, C_BSRC])
-                br = read_beta(ops_ref[i, C_SIDR2], ops_ref[i, C_BSRC2])
-                put_beta(ops_ref[i, C_BDST], bl * br)
-                put_beta(ops_ref[i, C_DST], br)
-                reset_ref(depths + ops_ref[i, C_SIDW], last)
+                bl = read_beta(get(C_SIDR), get(C_BSRC))
+                br = read_beta(get(C_SIDR2), get(C_BSRC2))
+                put_beta(get(C_BDST), bl * br)
+                put_beta(get(C_DST), br)
+                reset_ref(depths + get(C_SIDW), last)
                 return 0
 
             # ---- depth-0 variants (shared channel-LLR buffer) --------
             def do_f0(_):
-                a = read_d0(ops_ref[i, C_SRC])
-                b = read_d0(ops_ref[i, C_SRC2])
-                put_llr(ops_ref[i, C_DST], f_of(a, b))
+                a = read_d0(get(C_SRC))
+                b = read_d0(get(C_SRC2))
+                put_llr(get(C_DST), f_of(a, b))
                 reset_ref(d + 1, last)
                 return 0
 
             def do_g0(_):
-                a = read_d0(ops_ref[i, C_SRC])
-                b = read_d0(ops_ref[i, C_SRC2])
-                bl = read_beta(ops_ref[i, C_SIDR], ops_ref[i, C_BSRC])
-                put_llr(ops_ref[i, C_DST], b + bl * a)
+                a = read_d0(get(C_SRC))
+                b = read_d0(get(C_SRC2))
+                bl = read_beta(get(C_SIDR), get(C_BSRC))
+                put_llr(get(C_DST), b + bl * a)
                 reset_ref(d + 1, last)
                 return 0
 
             # ---- boundary ops (256-wide node -> 128-wide children) ---
             def do_f_b(_):
-                full = read_llr(d, ops_ref[i, C_SRC])
+                full = read_llr(d, get(C_SRC))
                 a = full[:, :CHUNK2]
                 b = full[:, CHUNK2: 2 * CHUNK2]
-                put_llr2(ops_ref[i, C_DST], f_of(a, b))
+                put_llr2(get(C_DST), f_of(a, b))
                 reset_ref(d + 1, last)
                 return 0
 
             def do_g_b(_):
-                full = read_llr(d, ops_ref[i, C_SRC])
+                full = read_llr(d, get(C_SRC))
                 a = full[:, :CHUNK2]
                 b = full[:, CHUNK2: 2 * CHUNK2]
-                bl = read_beta2(ops_ref[i, C_SIDR], ops_ref[i, C_BSRC])
-                put_llr2(ops_ref[i, C_DST], b + bl * a)
+                bl = read_beta2(get(C_SIDR), get(C_BSRC))
+                put_llr2(get(C_DST), b + bl * a)
                 reset_ref(d + 1, last)
                 return 0
 
             def do_c_b(_):
-                bl = read_beta2(ops_ref[i, C_SIDR], ops_ref[i, C_BSRC])
-                br = read_beta2(ops_ref[i, C_SIDR2],
-                                ops_ref[i, C_BSRC2])
+                bl = read_beta2(get(C_SIDR), get(C_BSRC))
+                br = read_beta2(get(C_SIDR2),
+                                get(C_BSRC2))
                 out = jnp.concatenate(
                     [bl * br, br,
                      jnp.zeros((P, CHUNK - 2 * CHUNK2), jnp.float32)],
                     axis=1)
-                put_beta(ops_ref[i, C_BDST], out)
-                reset_ref(depths + ops_ref[i, C_SIDW], last)
+                put_beta(get(C_BDST), out)
+                reset_ref(depths + get(C_SIDW), last)
                 return 0
 
             # ---- width-parameterized bodies ---------------------------
@@ -1017,7 +1040,12 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                     return iota2((P, CW), 1) < w
 
                 def shl(mat, h):
-                    rolled = pltpu.roll(mat, -h, 1)
+                    # static h (unroll mode): pass the positive
+                    # congruent shift — Mosaic rejects some negative
+                    # static roll amounts that the dynamic form allows
+                    sh = ((CW - h) % CW
+                          if isinstance(h, (int, np.integer)) else -h)
+                    rolled = pltpu.roll(mat, sh, 1)
                     return jnp.where(iota2((P, CW), 1) < CW - h,
                                      rolled, 0.0)
 
@@ -1031,32 +1059,32 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                                      0.0)
 
                 def t_f_s(_):
-                    blk = clean(rd_llr(d, ops_ref[i, C_SRC]),
+                    blk = clean(rd_llr(d, get(C_SRC)),
                                 2 * width)
-                    wr_llr(ops_ref[i, C_DST], f_of(blk, shl(blk,
+                    wr_llr(get(C_DST), f_of(blk, shl(blk,
                                                             width)))
                     reset_ref(d + 1, last)
                     return 0
 
                 def t_g_s(_):
-                    blk = clean(rd_llr(d, ops_ref[i, C_SRC]),
+                    blk = clean(rd_llr(d, get(C_SRC)),
                                 2 * width)
                     b = shl(blk, width)
-                    bl = clean(rd_beta(ops_ref[i, C_SIDR],
-                                       ops_ref[i, C_BSRC]), width)
-                    wr_llr(ops_ref[i, C_DST], b + bl * blk)
+                    bl = clean(rd_beta(get(C_SIDR),
+                                       get(C_BSRC)), width)
+                    wr_llr(get(C_DST), b + bl * blk)
                     reset_ref(d + 1, last)
                     return 0
 
                 def t_c_s(_):
-                    bl = rd_beta(ops_ref[i, C_SIDR],
-                                 ops_ref[i, C_BSRC])
-                    br = clean(rd_beta(ops_ref[i, C_SIDR2],
-                                       ops_ref[i, C_BSRC2]), width)
-                    wr_beta(ops_ref[i, C_BDST],
+                    bl = rd_beta(get(C_SIDR),
+                                 get(C_BSRC))
+                    br = clean(rd_beta(get(C_SIDR2),
+                                       get(C_BSRC2)), width)
+                    wr_beta(get(C_BDST),
                             jnp.where(cmask(width), bl * br,
                                       shr(br, width)))
-                    reset_ref(depths + ops_ref[i, C_SIDW], last)
+                    reset_ref(depths + get(C_SIDW), last)
                     return 0
 
                 # ---- leaf cores: body(llr tile, width, carry tile)
@@ -1094,24 +1122,24 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
 
                 def leaf_op(core):
                     def run(_):
-                        a = rd_llr(d, ops_ref[i, C_SRC])
+                        a = rd_llr(d, get(C_SRC))
                         beta, _c, pm2 = core(a, width, None)
-                        wr_beta(ops_ref[i, C_BDST], beta)
+                        wr_beta(get(C_BDST), beta)
                         pm_put(pm2)
-                        reset_ref(depths + ops_ref[i, C_SIDW], last)
+                        reset_ref(depths + get(C_SIDW), last)
                         return 0
                     return run
 
                 def leaf_op_fl(core):
                     """Left leaf with its parent F absorbed."""
                     def run(_):
-                        blk = clean(rd_llr(d, ops_ref[i, C_SRC]),
+                        blk = clean(rd_llr(d, get(C_SRC)),
                                     2 * width)
                         a = f_of(blk, shl(blk, width))
                         beta, _c, pm2 = core(a, width, None)
-                        wr_beta(ops_ref[i, C_BDST], beta)
+                        wr_beta(get(C_BDST), beta)
                         pm_put(pm2)
-                        reset_ref(depths + ops_ref[i, C_SIDW], last)
+                        reset_ref(depths + get(C_SIDW), last)
                         return 0
                     return run
 
@@ -1120,18 +1148,18 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                     COMBINE absorbed; the left-child beta rides the
                     forks as a payload."""
                     def run(_):
-                        blk = clean(rd_llr(d, ops_ref[i, C_SRC]),
+                        blk = clean(rd_llr(d, get(C_SRC)),
                                     2 * width)
-                        bl = clean(rd_beta(ops_ref[i, C_SIDR],
-                                           ops_ref[i, C_BSRC]), width)
+                        bl = clean(rd_beta(get(C_SIDR),
+                                           get(C_BSRC)), width)
                         g = shl(blk, width) + bl * blk
                         beta, bl2, pm2 = core(g, width, bl)
                         beta = clean(beta, width)
                         out = jnp.where(cmask(width), bl2 * beta,
                                         shr(beta, width))
-                        wr_beta(ops_ref[i, C_BDST], out)
+                        wr_beta(get(C_BDST), out)
                         pm_put(pm2)
-                        reset_ref(depths + ops_ref[i, C_SIDW], last)
+                        reset_ref(depths + get(C_SIDW), last)
                         return 0
                     return run
 
@@ -1418,41 +1446,41 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                     return out, carry, pm3
 
                 def t_rep_spc(_):
-                    blk = clean(rd_llr(d, ops_ref[i, C_SRC]),
+                    blk = clean(rd_llr(d, get(C_SRC)),
                                 2 * width)
                     out, _c, pm3 = repspc_core(blk, width, None)
-                    wr_beta(ops_ref[i, C_BDST], out)
+                    wr_beta(get(C_BDST), out)
                     pm_put(pm3)
-                    reset_ref(depths + ops_ref[i, C_SIDW], last)
+                    reset_ref(depths + get(C_SIDW), last)
                     return 0
 
                 def t_rep_spc_fl(_):
                     """REP-SPC node with its parent F absorbed: the
                     op's width is the NODE width (2x the REP width)."""
-                    blk = clean(rd_llr(d, ops_ref[i, C_SRC]),
+                    blk = clean(rd_llr(d, get(C_SRC)),
                                 2 * width)
                     x = clean(f_of(blk, shl(blk, width)), width)
                     out, _c, pm3 = repspc_core(x, width // 2, None)
-                    wr_beta(ops_ref[i, C_BDST], out)
+                    wr_beta(get(C_BDST), out)
                     pm_put(pm3)
-                    reset_ref(depths + ops_ref[i, C_SIDW], last)
+                    reset_ref(depths + get(C_SIDW), last)
                     return 0
 
                 def t_rep_spc_gr(_):
                     """REP-SPC node with its parent G and COMBINE
                     absorbed; left beta rides the forks."""
-                    blk = clean(rd_llr(d, ops_ref[i, C_SRC]),
+                    blk = clean(rd_llr(d, get(C_SRC)),
                                 2 * width)
-                    bl = clean(rd_beta(ops_ref[i, C_SIDR],
-                                       ops_ref[i, C_BSRC]), width)
+                    bl = clean(rd_beta(get(C_SIDR),
+                                       get(C_BSRC)), width)
                     x = clean(shl(blk, width) + bl * blk, width)
                     out, bl2, pm3 = repspc_core(x, width // 2, bl)
                     out = clean(out, width)
                     pout = jnp.where(cmask(width), bl2 * out,
                                      shr(out, width))
-                    wr_beta(ops_ref[i, C_BDST], pout)
+                    wr_beta(get(C_BDST), pout)
                     pm_put(pm3)
-                    reset_ref(depths + ops_ref[i, C_SIDW], last)
+                    reset_ref(depths + get(C_SIDW), last)
                     return 0
 
                 # ---- chain-pair ops (round 3; dispatched tier-2
@@ -1462,43 +1490,43 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                 # replaces is exact (betas are {-1,0,+1}: the skipped
                 # bf16 store/load round trip is exact too).
                 def t_ff(_):
-                    blk = clean(rd_llr(d, ops_ref[i, C_SRC]),
+                    blk = clean(rd_llr(d, get(C_SRC)),
                                 2 * width)
                     v1 = f_of(blk, shl(blk, width))
-                    wr_llr(ops_ref[i, C_DST], v1)
+                    wr_llr(get(C_DST), v1)
                     w2 = width // 2
                     v1c = clean(v1, width)
-                    wr_llr(ops_ref[i, C_DST] + 1,
+                    wr_llr(get(C_DST) + 1,
                            f_of(v1c, shl(v1c, w2)))
                     reset_ref(d + 1, 1)
                     reset_ref(d + 2, 1)
                     return 0
 
                 def t_gf(_):
-                    blk = clean(rd_llr(d, ops_ref[i, C_SRC]),
+                    blk = clean(rd_llr(d, get(C_SRC)),
                                 2 * width)
                     b = shl(blk, width)
-                    bl = clean(rd_beta(ops_ref[i, C_SIDR],
-                                       ops_ref[i, C_BSRC]), width)
+                    bl = clean(rd_beta(get(C_SIDR),
+                                       get(C_BSRC)), width)
                     v1 = b + bl * blk
-                    wr_llr(ops_ref[i, C_DST], v1)
+                    wr_llr(get(C_DST), v1)
                     w2 = width // 2
                     v1c = clean(v1, width)
-                    wr_llr(ops_ref[i, C_DST] + 1,
+                    wr_llr(get(C_DST) + 1,
                            f_of(v1c, shl(v1c, w2)))
                     reset_ref(d + 1, 1)
                     reset_ref(d + 2, 1)
                     return 0
 
                 def t_cg(_):
-                    bl = rd_beta(ops_ref[i, C_SIDR],
-                                 ops_ref[i, C_BSRC])
-                    br = clean(rd_beta(ops_ref[i, C_SIDR2],
-                                       ops_ref[i, C_BSRC2]), width)
+                    bl = rd_beta(get(C_SIDR),
+                                 get(C_BSRC))
+                    br = clean(rd_beta(get(C_SIDR2),
+                                       get(C_BSRC2)), width)
                     v1 = jnp.where(cmask(width), bl * br,
                                    shr(br, width))
-                    wr_beta(ops_ref[i, C_BDST], v1)
-                    reset_ref(depths + ops_ref[i, C_SIDW], 1)
+                    wr_beta(get(C_BDST), v1)
+                    reset_ref(depths + get(C_SIDW), 1)
                     # G2 at depth d-1, width 2w; left beta = v1
                     d2 = d - 1
                     w2 = 2 * width
@@ -1510,24 +1538,24 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                     return 0
 
                 def t_cc(_):
-                    bl = rd_beta(ops_ref[i, C_SIDR],
-                                 ops_ref[i, C_BSRC])
-                    br = clean(rd_beta(ops_ref[i, C_SIDR2],
-                                       ops_ref[i, C_BSRC2]), width)
+                    bl = rd_beta(get(C_SIDR),
+                                 get(C_BSRC))
+                    br = clean(rd_beta(get(C_SIDR2),
+                                       get(C_BSRC2)), width)
                     v1 = jnp.where(cmask(width), bl * br,
                                    shr(br, width))
-                    wr_beta(ops_ref[i, C_BDST], v1)
-                    reset_ref(depths + ops_ref[i, C_SIDW], 1)
+                    wr_beta(get(C_BDST), v1)
+                    reset_ref(depths + get(C_SIDW), 1)
                     # C2 at depth d-1, width 2w; RIGHT beta = v1,
                     # left beta slot/row + write ids from packed cols
                     w2 = 2 * width
-                    bl2 = rd_beta(ops_ref[i, C_SRC],
-                                  ops_ref[i, C_SRC2])
+                    bl2 = rd_beta(get(C_SRC),
+                                  get(C_SRC2))
                     br2 = clean(v1, w2)
                     v2 = jnp.where(cmask(w2), bl2 * br2,
                                    shr(br2, w2))
-                    wr_beta(ops_ref[i, C_DST], v2)
-                    reset_ref(depths + ops_ref[i, C_P2A], 1)
+                    wr_beta(get(C_DST), v2)
+                    reset_ref(depths + get(C_P2A), 1)
                     return 0
 
                 return (t_f_s, t_g_s, t_c_s, leaf_op(rate0_core),
@@ -1555,22 +1583,34 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
              do_rate1_gr, do_spc_gr, do_rep_spc_fl,
              do_rep_spc_gr, do_ff_2, do_gf_2, do_cg_2, do_cc_2) = t2
 
-            jax.lax.switch(op, [do_f, do_g, do_combine, do_rate0,
-                                do_rep, do_rate1, do_spc, do_f_s,
-                                do_g_s, do_c_s, do_f0, do_g0,
-                                do_f_b, do_g_b, do_c_b,
-                                do_f2, do_g2, do_c2, do_rate0_2,
-                                do_rep_2, do_rate1_2, do_spc_2,
-                                do_rep_spc_2,
-                                do_rate0_fl, do_rep_fl, do_rate1_fl,
-                                do_spc_fl, do_rate0_gr, do_rep_gr,
-                                do_rate1_gr, do_spc_gr,
-                                do_rep_spc_fl, do_rep_spc_gr,
-                                do_ff_2, do_gf_2, do_cg_2,
-                                do_cc_2], 0)
+            return [do_f, do_g, do_combine, do_rate0,
+                    do_rep, do_rate1, do_spc, do_f_s,
+                    do_g_s, do_c_s, do_f0, do_g0,
+                    do_f_b, do_g_b, do_c_b,
+                    do_f2, do_g2, do_c2, do_rate0_2,
+                    do_rep_2, do_rate1_2, do_spc_2,
+                    do_rep_spc_2,
+                    do_rate0_fl, do_rep_fl, do_rate1_fl,
+                    do_spc_fl, do_rate0_gr, do_rep_gr,
+                    do_rate1_gr, do_spc_gr,
+                    do_rep_spc_fl, do_rep_spc_gr,
+                    do_ff_2, do_gf_2, do_cg_2,
+                    do_cc_2]
+
+        def body(i, _):
+            jax.lax.switch(ops_ref[i, C_OP],
+                           make_branches(lambda c: ops_ref[i, c]), 0)
             return 0
 
-        jax.lax.fori_loop(0, n_ops, body, 0)
+        if unroll:
+            # static schedule expansion: every operand offset, width,
+            # roll amount and mask bound is a Python constant -- no
+            # op-table scalar reads, no switch, no dynamic addressing.
+            for _row in ops16:
+                make_branches(
+                    lambda c, _r=_row: int(_r[c]))[int(_row[C_OP])](0)
+        else:
+            jax.lax.fori_loop(0, n_ops, body, 0)
 
         # ---- emit outputs --------------------------------------------
         for r in range(n_rows):
@@ -1592,20 +1632,25 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                 [llrs, jnp.zeros((batch, n_pad - n), llrs.dtype)],
                 axis=1)
         blocks = llrs.reshape(cells, F, n_rows, CHUNK)
+        in_specs = [
+            # NOTE: SMEM would be the natural home for the op table
+            # (16 scalar reads per op) but SMEM allocates 32 B per
+            # element — [5713, 16] i32 needs 2.9 MB vs the 1 MB
+            # budget — so it stays in VMEM.
+            pl.BlockSpec((n_ops, 16), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, F, n_rows, CHUNK),
+                         lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        inputs = (jnp.asarray(ops16), blocks)
+        if unroll:
+            in_specs = in_specs[1:]
+            inputs = (blocks,)
         cw, pm = pl.pallas_call(
             kernel,
             grid=(cells,),
-            in_specs=[
-                # NOTE: SMEM would be the natural home for the op table
-                # (16 scalar reads per op) but SMEM allocates 32 B per
-                # element — [5713, 16] i32 needs 2.9 MB vs the 1 MB
-                # budget — so it stays in VMEM.
-                pl.BlockSpec((n_ops, 16), lambda b: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, F, n_rows, CHUNK),
-                             lambda b: (b, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((1, F, L, n_pad), lambda b: (b, 0, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -1633,7 +1678,7 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=112 * 1024 * 1024),
             interpret=interpret,
-        )(jnp.asarray(ops16), blocks)
+        )(*inputs)
         cw = cw.reshape(batch, L, n_pad)[:, :, :n].astype(jnp.uint8)
         pm = pm[:, 0, :P].reshape(batch, L)
         return cw, pm

@@ -29,6 +29,12 @@ from .fec.scl_vm import make_batch_decoder, make_decoder
 from .numerology import MODES, ModemConfig
 
 
+# default for BatchPipeline(scl_unroll=None): whether the Pallas SCL
+# expands its static schedule at trace time (no per-iteration op-table
+# reads / switch dispatch) instead of running the fori_loop interpreter
+SCL_UNROLL_DEFAULT = False
+
+
 class BatchPipeline:
     """Jit-once batched decoder for one (rate, mode, recording length)."""
 
@@ -36,7 +42,8 @@ class BatchPipeline:
                  mode_spec=None, symbol_len_override=None,
                  scl_backend: str = "auto", frames_per_cell: int = 0,
                  scl_exact: bool = True, estimator: str | None = None,
-                 mls_convention: str = "galois"):
+                 mls_convention: str = "galois",
+                 scl_unroll: bool | None = None):
         """scl_backend: 'pallas' (VMEM-resident kernel, TPU only),
         'xla' (lax.scan VM), or 'auto' (pallas on TPU, xla elsewhere).
 
@@ -85,6 +92,7 @@ class BatchPipeline:
             scl_backend = ("pallas" if jax.default_backend()
                            not in ("cpu",) else "xla")
         self.scl_backend = scl_backend
+        self.scl_unroll = scl_unroll
         self.frames_per_cell = frames_per_cell
         self._decode_batch = jax.jit(jax.vmap(self._decode_one))
         self._batched_cache: dict[int, object] = {}
@@ -126,10 +134,14 @@ class BatchPipeline:
             F = self.frames_per_cell
             if F <= 0:
                 F = self._auto_frames_per_cell(batch)
+            unroll = self.scl_unroll
+            if unroll is None:
+                unroll = SCL_UNROLL_DEFAULT
             return make_pallas_decoder(self.code.frozen,
                                        self.list_size,
                                        frames_per_cell=F,
-                                       exact=self.scl_exact)
+                                       exact=self.scl_exact,
+                                       unroll=unroll)
         return make_batch_decoder(self.code.frozen, batch,
                                   self.list_size,
                                   exact=self.scl_exact)

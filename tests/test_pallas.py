@@ -138,6 +138,26 @@ def test_pallas_rank_select_bit_exact(toy_llrs, exact):
     assert np.array_equal(pm_b, pm_r)
 
 
+@pytest.mark.parametrize("exact", [False, True])
+def test_pallas_unroll_bit_exact(toy_llrs, exact):
+    """unroll=True (static trace-time schedule expansion — no op
+    table, no switch, every offset/width/roll a compile-time
+    constant) must be BIT-identical to the fori_loop interpreter:
+    same codewords, same path metrics.  The expansion calls the same
+    op bodies with the same values, so any divergence is a wiring
+    bug in the static-operand path (reset_ref guards, static rolls)."""
+    cw, llrs = toy_llrs
+    base = make_pallas_decoder(TOY.frozen, 8, frames_per_cell=2,
+                               interpret=True, exact=exact)
+    unr = make_pallas_decoder(TOY.frozen, 8, frames_per_cell=2,
+                              interpret=True, exact=exact,
+                              unroll=True)
+    cws_b, pm_b = (np.asarray(v) for v in base(jnp.asarray(llrs)))
+    cws_u, pm_u = (np.asarray(v) for v in unr(jnp.asarray(llrs)))
+    assert np.array_equal(cws_b, cws_u)
+    assert np.array_equal(pm_b, pm_u)
+
+
 def test_pallas_exact_mode_oracle_parity(toy_llrs):
     """exact=True in the kernel (exact SPC parity-adjuster rule, L-1
     RATE1 rounds) must reproduce the bit-by-bit numpy oracle's
