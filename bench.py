@@ -157,14 +157,29 @@ def main():
     from modem_tpu import apply_env_platform
     apply_env_platform()
 
-    if os.environ.get("JAX_PLATFORMS", "axon") != "cpu" \
-            and not device_reachable():
-        # one honest JSON line beats an indefinite hang
-        print(json.dumps(dict(
-            metric="decode_frames_per_sec_per_chip", value=0.0,
-            unit="frames/s", vs_baseline=0.0,
-            error="TPU unreachable: axon tunnel probe timed out")))
-        return
+    if os.environ.get("JAX_PLATFORMS", "axon") != "cpu":
+        # Retry the probe for a while before giving up: tunnel blips
+        # shorter than the retry window (default 10 min, env
+        # MODEM_BENCH_PROBE_RETRY_S) must not turn a round's official
+        # number into an error line.  Hard outages still report fast:
+        # each probe itself times out in 180 s.
+        budget = float(os.environ.get("MODEM_BENCH_PROBE_RETRY_S",
+                                      "600"))
+        deadline = time.time() + budget
+        up = device_reachable()
+        while not up and time.time() < deadline:
+            print("# TPU probe failed; retrying until "
+                  f"{budget:.0f} s elapse...", file=sys.stderr,
+                  flush=True)
+            time.sleep(30)
+            up = device_reachable()
+        if not up:
+            # one honest JSON line beats an indefinite hang
+            print(json.dumps(dict(
+                metric="decode_frames_per_sec_per_chip", value=0.0,
+                unit="frames/s", vs_baseline=0.0,
+                error="TPU unreachable: axon tunnel probe timed out")))
+            return
 
     from modem_tpu import bits as B
     from modem_tpu import cplx
