@@ -166,13 +166,19 @@ def main():
         budget = float(os.environ.get("MODEM_BENCH_PROBE_RETRY_S",
                                       "600"))
         deadline = time.time() + budget
-        up = device_reachable()
+        up = device_reachable(min(180.0, max(5.0, budget)))
         while not up and time.time() < deadline:
             print("# TPU probe failed; retrying until "
                   f"{budget:.0f} s elapse...", file=sys.stderr,
                   flush=True)
-            time.sleep(30)
-            up = device_reachable()
+            time.sleep(min(30.0, max(0.0, deadline - time.time())))
+            # cap each probe (sleep excluded) to the remaining budget
+            # so the error line lands near the promised window, not
+            # up to 180+30 s past it
+            left = deadline - time.time()
+            if left <= 0:
+                break
+            up = device_reachable(min(180.0, max(5.0, left)))
         if not up:
             # one honest JSON line beats an indefinite hang
             print(json.dumps(dict(
@@ -252,9 +258,16 @@ def main():
     # (no schedule-interpreter overhead; costs a long one-time trace,
     # docs/SCL_KERNEL.md §7i); unset follows pipeline.SCL_UNROLL_DEFAULT
     unroll_env = os.environ.get("MODEM_SCL_UNROLL")
-    pipe = BatchPipeline(8000, 6,
-                         scl_unroll=None if unroll_env is None
-                         else unroll_env == "1")
+    if unroll_env is None:
+        unroll = None
+    elif unroll_env.lower() in ("1", "true", "yes", "on"):
+        unroll = True
+    elif unroll_env.lower() in ("0", "false", "no", "off", ""):
+        unroll = False
+    else:
+        raise SystemExit(f"MODEM_SCL_UNROLL={unroll_env!r}: "
+                         "expected 1/0/true/false/yes/no/on/off")
+    pipe = BatchPipeline(8000, 6, scl_unroll=unroll)
     t0 = time.time()
     print("# compiling batched decode...", file=sys.stderr, flush=True)
     res = pipe.decode_batch(recs)              # compile

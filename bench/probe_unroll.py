@@ -61,19 +61,21 @@ def main():
                 t0 = time.time()
                 compiled = lowered.compile()
                 t_compile = time.time() - t0
+                # execution faults (device OOM/wedge at the risky
+                # unroll sizes) must not abort the remaining ladder
+                cw, pm = compiled(reps[0])
+                first = (np.asarray(cw), np.asarray(pm))
+                times = []
+                for r in range(1, 5):
+                    t0 = time.time()
+                    cw, pm = compiled(reps[r])
+                    np.asarray(pm)
+                    np.asarray(cw[:, 0, :64])
+                    times.append(time.time() - t0)
             except Exception as e:
                 print(f"n={sz} {tag}: FAILED {type(e).__name__}: "
                       f"{str(e)[:300]}", flush=True)
                 continue
-            cw, pm = compiled(reps[0])
-            first = (np.asarray(cw), np.asarray(pm))
-            times = []
-            for r in range(1, 5):
-                t0 = time.time()
-                cw, pm = compiled(reps[r])
-                np.asarray(pm)
-                np.asarray(cw[:, 0, :64])
-                times.append(time.time() - t0)
             dt = min(times)
             results[unroll] = first
             print(f"n={sz} {tag}: {dt * 1e3 / batch:7.3f} ms/frame "

@@ -1635,7 +1635,7 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
         in_specs = [
             # NOTE: SMEM would be the natural home for the op table
             # (16 scalar reads per op) but SMEM allocates 32 B per
-            # element — [5713, 16] i32 needs 2.9 MB vs the 1 MB
+            # element — [5108, 16] i32 needs 2.6 MB vs the 1 MB
             # budget — so it stays in VMEM.
             pl.BlockSpec((n_ops, 16), lambda b: (0, 0),
                          memory_space=pltpu.VMEM),

@@ -17,6 +17,7 @@ streaming; batch jobs know their framing).
 from __future__ import annotations
 
 import functools
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -64,7 +65,14 @@ class BatchPipeline:
         (P = F*list lanes share one schedule pass; the per-op cost is
         latency-dominated, so wider tiles amortize it).  0 = auto: the
         largest F with P <= 128 whose scratch fits VMEM and which
-        divides the batch."""
+        divides the batch.
+
+        scl_unroll: Pallas-backend only — True expands the static SCL
+        schedule at trace time (no op table / switch dispatch; faster
+        for small codes, slower + slow-compiling at wire size,
+        docs/SCL_KERNEL.md §7i); None follows SCL_UNROLL_DEFAULT.  The
+        'xla' backend has no unroll notion: passing an explicit value
+        there warns and is ignored."""
         if mls_convention == "auto":
             # _demod_one pins kernel index 0; silently accepting
             # "auto" would decode a foreign convention as noise
@@ -92,6 +100,12 @@ class BatchPipeline:
             scl_backend = ("pallas" if jax.default_backend()
                            not in ("cpu",) else "xla")
         self.scl_backend = scl_backend
+        if scl_unroll is not None and scl_backend != "pallas":
+            warnings.warn(
+                "scl_unroll is a Pallas-kernel option; the "
+                f"'{scl_backend}' SCL backend ignores it (the lax.scan "
+                "VM has no unroll mode)", stacklevel=2)
+            scl_unroll = None
         self.scl_unroll = scl_unroll
         self.frames_per_cell = frames_per_cell
         self._decode_batch = jax.jit(jax.vmap(self._decode_one))

@@ -158,6 +158,42 @@ def test_pallas_unroll_bit_exact(toy_llrs, exact):
     assert np.array_equal(pm_b, pm_u)
 
 
+def test_pallas_unroll_bit_exact_all_wire_op_types():
+    """Unroll parity over codes that together with the toy test cover
+    EVERY op type the wire schedule emits (the toy schedule uses only
+    16 of its 32): n=56 adds the plain tier-1 leaves + sub F_S/G_S/C_S
+    {3,4,5,6,7,8,9}; n=960 adds the plain tier-2 leaves {18,21} and
+    C/F0/G0 {2,10,11}; n=2048 adds full-width F/G and tier-2 REP/
+    RATE1 {0,1,19,20}.  A static-operand wiring bug in any op body's
+    unroll path fails here, not only on the manual chip probe.
+    (exact=False differs only in leaf-op CHOICE, all covered by the
+    toy test + n=56 here, so the big codes run the serving default
+    only — unroll interpret mode costs minutes per run.)"""
+    cases = [(PolarCode(n=56, k=36, order=6), 0.6, True),
+             (PolarCode(n=56, k=36, order=6), 0.6, False),
+             (PolarCode(n=960, k=480, order=10), 0.5, True),
+             (PolarCode(n=2048, k=1024, order=11), 0.5, True)]
+    for code, sigma, exact in cases:
+        rng = np.random.default_rng(11)
+        m = rng.integers(0, 2, code.mesg_bits, dtype=np.uint8)
+        m[code.k:] = 0
+        tx = 1.0 - 2.0 * code.shorten_np(
+            code.encode_systematic_np(m)).astype(np.float64)
+        llrs = code.lengthen_np(
+            2 * (tx + sigma * rng.standard_normal(code.n))
+            / sigma**2)[None, :].astype(np.float32)
+        llrs = np.repeat(llrs, 2, axis=0)
+        outs = []
+        for unroll in (False, True):
+            fn = make_pallas_decoder(code.frozen, 8, frames_per_cell=2,
+                                     interpret=True, exact=exact,
+                                     unroll=unroll)
+            outs.append(tuple(np.asarray(v)
+                              for v in fn(jnp.asarray(llrs))))
+        assert np.array_equal(outs[0][0], outs[1][0]), (code.n, exact)
+        assert np.array_equal(outs[0][1], outs[1][1]), (code.n, exact)
+
+
 def test_pallas_exact_mode_oracle_parity(toy_llrs):
     """exact=True in the kernel (exact SPC parity-adjuster rule, L-1
     RATE1 rounds) must reproduce the bit-by-bit numpy oracle's
