@@ -258,11 +258,12 @@ def main():
     # (no schedule-interpreter overhead; costs a long one-time trace,
     # docs/SCL_KERNEL.md §7i); unset follows pipeline.SCL_UNROLL_DEFAULT
     unroll_env = os.environ.get("MODEM_SCL_UNROLL")
-    if unroll_env is None:
+    if not unroll_env:
+        # unset OR empty string both mean "follow SCL_UNROLL_DEFAULT"
         unroll = None
     elif unroll_env.lower() in ("1", "true", "yes", "on"):
         unroll = True
-    elif unroll_env.lower() in ("0", "false", "no", "off", ""):
+    elif unroll_env.lower() in ("0", "false", "no", "off"):
         unroll = False
     else:
         raise SystemExit(f"MODEM_SCL_UNROLL={unroll_env!r}: "

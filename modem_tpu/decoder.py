@@ -66,7 +66,7 @@ class Decoder:
 
     def __init__(self, rate: int, list_size: int = 8,
                  device_scl="auto", scl_exact: bool = True,
-                 estimator: str | None = None,
+                 estimator: str | None = "all_pairs",
                  mls_convention: str = "galois"):
         # mode choice does not affect the front-end/sync/header stages
         from .numerology import SUPPORTED_RATES
@@ -101,7 +101,13 @@ class Decoder:
             device_scl = True
         self.device_scl = device_scl
         # Theil-Sen variant, captured at construction and passed at
-        # trace time (a module-global flip after jit had no effect)
+        # trace time (a module-global flip after jit had no effect).
+        # The INTERACTIVE decoder defaults to the reference's exact
+        # all-pairs median (DSP::TheilSenEstimator, decode.cc:488-494)
+        # so reference-transcript parity never rides the approximation;
+        # the batch serving path keeps the O(n) disjoint variant with
+        # the measured nil A/B delta (docs/PERFORMANCE.md "Theil-Sen
+        # A/B").
         self.estimator = estimator
         self._device_scl_cache: dict[int, object] = {}
         self._payload_cache: dict[int, object] = {}

@@ -179,9 +179,16 @@ class ModemConfig:
     def search_pos(self) -> int:
         return self.buffer_len - 4 * self.extended_len
 
-    def validate(self) -> None:
+    def validate(self, channels: int | None = None) -> None:
+        """Wire-format validation, matching encode.cc's check order and
+        stderr texts exactly: the combined band/mono condition first
+        ("Unsupported frequency offset.", encode.cc:389-392, with the
+        mono clause folded into the same condition when ``channels``
+        is given), then divisibility ("Frequency offset must be
+        divisible by 50.", encode.cc:394-397).  The CLI appends the
+        trailing period."""
         if self.rate not in SUPPORTED_RATES:
-            raise ValueError(f"unsupported sample rate {self.rate}")
+            raise ValueError("Unsupported sample rate")  # encode.cc:438
         if self.mls_convention not in ("galois", "fibonacci", "msb",
                                        "auto"):
             raise ValueError(
@@ -190,13 +197,14 @@ class ModemConfig:
             raise ValueError("symbol length must be integral")
         bw = BANDWIDTH.get(self.mode.oper_mode)
         if bw is not None:
-            if self.freq_off % 50:
-                raise ValueError(
-                    "frequency offset must be divisible by 50")  # encode.cc:394
             lo = bw // 2 - self.rate // 2
             hi = self.rate // 2 - bw // 2
-            if self.freq_off < lo or self.freq_off > hi:
-                raise ValueError("unsupported frequency offset")  # encode.cc:389
+            if ((channels == 1 and self.freq_off < bw // 2)
+                    or self.freq_off < lo or self.freq_off > hi):
+                raise ValueError("Unsupported frequency offset")  # encode.cc:389
+            if self.freq_off % 50:
+                raise ValueError(
+                    "Frequency offset must be divisible by 50")  # encode.cc:394
 
 
 def make_config(rate: int, oper_mode: int, freq_off: int = 2000,
@@ -205,10 +213,7 @@ def make_config(rate: int, oper_mode: int, freq_off: int = 2000,
     if oper_mode not in MODES:
         raise ValueError(f"unsupported operation mode {oper_mode}")
     cfg = ModemConfig(rate=rate, mode=MODES[oper_mode], freq_off=freq_off)
-    cfg.validate()
-    bw = BANDWIDTH[oper_mode]
-    if channels == 1 and freq_off < bw // 2:
-        raise ValueError("unsupported frequency offset")  # encode.cc:389
+    cfg.validate(channels)
     return cfg
 
 

@@ -101,10 +101,13 @@ class BatchPipeline:
                            not in ("cpu",) else "xla")
         self.scl_backend = scl_backend
         if scl_unroll is not None and scl_backend != "pallas":
-            warnings.warn(
-                "scl_unroll is a Pallas-kernel option; the "
-                f"'{scl_backend}' SCL backend ignores it (the lax.scan "
-                "VM has no unroll mode)", stacklevel=2)
+            # explicit False matches the non-pallas behavior exactly, so
+            # only an unhonorable truthy value warrants the warning
+            if scl_unroll:
+                warnings.warn(
+                    "scl_unroll is a Pallas-kernel option; the "
+                    f"'{scl_backend}' SCL backend ignores it (the "
+                    "lax.scan VM has no unroll mode)", stacklevel=2)
             scl_unroll = None
         self.scl_unroll = scl_unroll
         self.frames_per_cell = frames_per_cell
@@ -182,7 +185,8 @@ class BatchPipeline:
         return dict(ok=jnp.any(crc_ok, axis=-1),
                     bits=bits.astype(jnp.uint8), p0=front["p0"],
                     cfo_rad=front["cfo_rad"], snr=front["snr"],
-                    flips=flips, sync_gate=front["sync_gate"])
+                    flips=flips, sync_gate=front["sync_gate"],
+                    multiframe=front["multiframe"])
 
     def batched_run_fn(self, batch: int):
         """Unjitted whole-batch decode fn (for shard_map composition)."""
@@ -196,13 +200,30 @@ class BatchPipeline:
 
     # -- single recording, fully traced ------------------------------------
     def _sync_argmax(self, x):
-        """Single-candidate sync: global timing argmax (no Schmitt scan)."""
+        """Single-candidate sync: global timing argmax (no Schmitt scan).
+
+        Also guards the single-frame-per-recording contract this path
+        trades the reference's Schmitt-retry acquisition loop for
+        (decode.cc:390-448): any timing sample above the Schmitt upper
+        threshold OUTSIDE the committed frame's whole sample span
+        marks a second frame; the flag surfaces as ``multiframe`` in
+        the result dict so a multi-frame recording fails loudly
+        instead of silently decoding whichever frame wins the argmax.
+        The exclusion is the frame span (not just the preamble
+        neighborhood) because the metric has in-frame secondary
+        bumps above thr_hi; a second frame's own preamble peak always
+        lies >= frame_samples after the first, outside the span."""
         s = self.sync
         timing, phase = s._metrics(x)
         n_max = jnp.argmax(timing)
         p0 = n_max - s.match_del
         fc = phase[jnp.maximum(n_max - s.match_del, 0)] / s.L
-        return p0, fc
+        idx = jnp.arange(timing.shape[0])
+        sg = self.cfg.symbol_len + self.cfg.guard_len
+        inside = ((idx >= n_max - 2 * sg)
+                  & (idx <= n_max + self.cfg.frame_samples))
+        extra = jnp.max(jnp.where(inside, -jnp.inf, timing))
+        return p0, fc, extra > s.thr_hi
 
     def _demod_one(self, x):
         """x: [T, 2] analytic recording -> channel LLRs + metrics."""
@@ -214,7 +235,7 @@ class BatchPipeline:
         bins = ofdm.bin_index(
             np.arange(code_off, code_off + mode.cons_cols), s)
 
-        p0, fc = self._sync_argmax(x)
+        p0, fc, multiframe = self._sync_argmax(x)
         window = jax.lax.dynamic_slice(x, (p0 + self.sync.L, 0),
                                        (self.sync.L, 2))
         # the batch path's config pins ONE convention (K = 1)
@@ -251,7 +272,7 @@ class BatchPipeline:
         llrs, snr = track.soft_llrs(cons, mode.mod_bits)
         full = self.code.lengthen(llrs.reshape(-1))
         return dict(llrs=full, p0=p0, cfo_rad=cfo, snr=snr,
-                    sync_gate=(peak > 4.0 * nxt))
+                    sync_gate=(peak > 4.0 * nxt), multiframe=multiframe)
 
     def _decode_one(self, x):
         """x: [T, 2] analytic recording -> dict of results."""
@@ -276,7 +297,8 @@ class BatchPipeline:
         flips = jnp.sum(received != payload_bits.astype(bool))
         return dict(ok=jnp.any(crc_ok), bits=payload_bits.astype(jnp.uint8),
                     p0=p0, cfo_rad=cfo, snr=snr, flips=flips,
-                    sync_gate=front["sync_gate"])
+                    sync_gate=front["sync_gate"],
+                    multiframe=front["multiframe"])
 
     # -- staged fast path: two jits (front-end, SCL+select) -----------------
     # One whole-batch jit is the lowest-dispatch-overhead design, but its

@@ -26,9 +26,22 @@ def test_encode_validation_errors(tmp_path, capsys):
     # unsupported rate (encode.cc:424-440)
     assert main(["encode", out, "11025", "16", "1", "2000", "6",
                  "N0CALL", str(inp)]) == 1
-    # frequency offset not in band (encode.cc:389-397)
+    assert capsys.readouterr().err == "Unsupported sample rate.\n"
+    # frequency offset not in band (encode.cc:389-397); exact text +
+    # check order parity: the band/mono condition fires FIRST, then %50
     assert main(["encode", out, "8000", "16", "1", "100", "6",
                  "N0CALL", str(inp)]) == 1
+    assert capsys.readouterr().err == "Unsupported frequency offset.\n"
+    # 2675 is both past the band edge (>2650 for mode 6 @ 8 kHz) and
+    # not divisible by 50: the reference prints the band error
+    assert main(["encode", out, "8000", "16", "2", "2675", "6",
+                 "N0CALL", str(inp)]) == 1
+    assert capsys.readouterr().err == "Unsupported frequency offset.\n"
+    # in band but not divisible by 50 (encode.cc:394-397)
+    assert main(["encode", out, "8000", "16", "2", "2025", "6",
+                 "N0CALL", str(inp)]) == 1
+    assert capsys.readouterr().err == \
+        "Frequency offset must be divisible by 50.\n"
 
 
 def test_decode_rejects_bad_wav(tmp_path):

@@ -118,6 +118,7 @@ def test_pallas_all_opcode_classes():
                 np.sort(cws_p[b], axis=0)).all()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("exact", [False, True])
 def test_pallas_rank_select_bit_exact(toy_llrs, exact):
     """rank_select=True (single-pass rank selectors over the
@@ -169,10 +170,23 @@ def test_pallas_unroll_bit_exact_all_wire_op_types():
     (exact=False differs only in leaf-op CHOICE, all covered by the
     toy test + n=56 here, so the big codes run the serving default
     only — unroll interpret mode costs minutes per run.)"""
-    cases = [(PolarCode(n=56, k=36, order=6), 0.6, True),
-             (PolarCode(n=56, k=36, order=6), 0.6, False),
-             (PolarCode(n=960, k=480, order=10), 0.5, True),
-             (PolarCode(n=2048, k=1024, order=11), 0.5, True)]
+    _run_unroll_parity_cases([
+        (PolarCode(n=56, k=36, order=6), 0.6, True),
+        (PolarCode(n=56, k=36, order=6), 0.6, False),
+        (PolarCode(n=960, k=480, order=10), 0.5, True)])
+
+
+@pytest.mark.slow
+def test_pallas_unroll_bit_exact_wide_ops():
+    """The n=2048 coverage extension (full-width F/G and tier-2 REP/
+    RATE1 ops {0,1,19,20}) runs ~3 min in interpret mode, so it lives
+    in the opt-in slow lane (pytest -m slow); the default suite keeps
+    the toy + n=56 + n=960 unroll pins."""
+    _run_unroll_parity_cases(
+        [(PolarCode(n=2048, k=1024, order=11), 0.5, True)])
+
+
+def _run_unroll_parity_cases(cases):
     for code, sigma, exact in cases:
         rng = np.random.default_rng(11)
         m = rng.integers(0, 2, code.mesg_bits, dtype=np.uint8)
@@ -210,6 +224,7 @@ def test_pallas_exact_mode_oracle_parity(toy_llrs):
                            rtol=1e-4, atol=1e-2)
         assert (np.sort(cws_p[b], axis=0) == np.sort(cnp, axis=0)).all()
 
+@pytest.mark.slow
 @pytest.mark.parametrize("exact", [False, True])
 def test_pallas_p256_two_lane_tiles(toy_llrs, exact):
     """F=32 (P=256: two 128-lane tables, [256, 256] one-hot permutes,

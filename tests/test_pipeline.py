@@ -26,6 +26,26 @@ def test_toy_batch_pipeline(toy_batch):
     assert np.asarray(res["flips"]).max() == 0
 
 
+def test_multiframe_recording_flagged(toy_batch):
+    """BatchPipeline's single-frame-per-recording contract is guarded:
+    a TWO-frame recording fed to decode_batch raises the `multiframe`
+    flag (a second Schmitt-level timing peak outside the committed
+    preamble's span) instead of silently decoding whichever frame wins
+    the argmax; clean one-frame windows keep it False."""
+    recs, payloads = toy_batch
+    pipe = toy_pipeline()
+    one = np.asarray(recs[0])
+    two = np.concatenate([one, np.asarray(recs[1])], axis=0)
+    batch = np.stack([two, np.concatenate([one, np.zeros_like(one)],
+                                          axis=0)])
+    res = pipe.decode_batch(batch)
+    flag = np.asarray(res["multiframe"])
+    assert flag[0] and not flag[1], flag
+    # the single-frame windows of the ordinary batch stay unflagged
+    res1 = pipe.decode_batch(recs)
+    assert not np.asarray(res1["multiframe"]).any()
+
+
 def test_toy_staged_matches_whole(toy_batch):
     recs, payloads = toy_batch
     pipe = toy_pipeline()
