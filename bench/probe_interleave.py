@@ -107,8 +107,8 @@ def make_probe(body, n_chains: int, reps: int):
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((1, P), jnp.float32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         )(x)
 
     return fn
@@ -152,4 +152,67 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "width":
+        pass     # handled by width_main at the bottom
+    else:
+        main()
+
+
+def make_width_probe(body_w, width: int, reps: int):
+    """Single chain over [P, width] — measures whether doubling the
+    minor (width) axis of every op is free (slab frame-packing)."""
+    def kernel(x_ref, o_ref):
+        def run(i, st):
+            x, pm = st
+            return body_w(x, pm, width)
+
+        st = jax.lax.fori_loop(
+            0, reps, run,
+            (x_ref[0, :, :width], jnp.zeros((1, P), jnp.float32)))
+        o_ref[...] = st[1] + jnp.sum(st[0][:, :128], axis=0,
+                                     keepdims=True)
+
+    @jax.jit
+    def fn(x):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((1, P), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(x)
+
+    return fn
+
+
+def leaf_width_body(x, pm, w):
+    """Width-axis leaf mix on [P, w]: extraction-round reduces, MACs,
+    mask updates — the part of a leaf op slab packing must NOT double."""
+    iw = iota2((P, w), 1)
+    colmin = jnp.min(x, axis=1, keepdims=True)
+    colat = jnp.min(jnp.where(x == colmin, iw, w), axis=1,
+                    keepdims=True)
+    acc = x + colmin * 0.125
+    acc = jnp.where(iw == colat, acc + 1.0, acc)
+    m2 = jnp.min(jnp.where(iw == colat, BIG, acc), axis=1,
+                 keepdims=True)
+    acc = acc + m2 * 0.0625
+    x2 = jnp.where(jnp.abs(acc) > 4.0, acc * 0.5, acc + 0.03125)
+    return x2, pm + 1e-6 * jnp.sum(colmin) * jnp.ones((1, P),
+                                                      jnp.float32)
+
+
+def width_main():
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 50000
+
+    def mk(seed):
+        r = np.random.default_rng(seed)
+        return r.normal(0, 1, (1, P, 256)).astype(np.float32)
+
+    for w in (128, 256):
+        fn = make_width_probe(leaf_width_body, w, reps)
+        t = time_fn(fn, mk)
+        print(f"width {w}: {t * 1e3:8.2f} ms ({reps} reps)")
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "width":
+    width_main()
