@@ -439,29 +439,44 @@ class BatchPipeline:
 
     def fetch(self, res) -> dict:
         """Fetch a decode_batch/decode_windows result dict to host
-        numpy in TWO tunnel round trips instead of one per array: the
-        per-frame scalars (ok, flips, p0, sync_gate, cfo_rad) and the
-        per-row snr pack into one int32 block on device (floats
-        bitcast), bits ride alone (they are the bulk payload).  A
-        device read costs one ~100 ms tunnel round trip regardless of
-        size (docs/PERFORMANCE.md), so the 7-key dict was 7 round
-        trips."""
+        numpy in ONE tunnel round trip instead of one per array: the
+        per-frame scalars (ok, flips, p0, sync_gate, cfo_rad), the
+        per-row snr AND the payload bits all pack into one int32 block
+        on device (floats bitcast, bits as 32-per-word little-endian)
+        and unpack on the host.  A device read costs one ~26-100 ms
+        tunnel round trip regardless of size (docs/PERFORMANCE.md), so
+        the 7-key dict was 7 round trips and the round-4 two-block
+        split still paid a second one for the bits."""
+        snr_cols = res["snr"].shape[1]
+        nb = res["bits"].shape[1]
         packed = np.asarray(_pack_results(
             res["ok"], res["flips"], res["p0"], res["sync_gate"],
-            res["cfo_rad"], res["snr"]))
-        bits = np.asarray(res["bits"])
+            res["cfo_rad"], res["snr"], res["bits"]))
+        off = 5 + snr_cols
+        words = np.ascontiguousarray(packed[:, off:])
+        bits = np.unpackbits(words.view(np.uint8), axis=1,
+                             bitorder="little")[:, :nb]
         return dict(
             ok=packed[:, 0].astype(bool),
             flips=packed[:, 1].copy(),
             p0=packed[:, 2].copy(),
             sync_gate=packed[:, 3].astype(bool),
             cfo_rad=np.ascontiguousarray(packed[:, 4]).view(np.float32),
-            snr=np.ascontiguousarray(packed[:, 5:]).view(np.float32),
+            snr=np.ascontiguousarray(
+                packed[:, 5: off]).view(np.float32),
             bits=bits)
 
 
 @jax.jit
-def _pack_results(ok, flips, p0, sync_gate, cfo, snr):
+def _pack_results(ok, flips, p0, sync_gate, cfo, snr, bits):
+    b = bits.shape[0]
+    nb = bits.shape[1]
+    nw = -(-nb // 32)
+    bitsp = jnp.pad(bits.astype(jnp.uint32),
+                    ((0, 0), (0, nw * 32 - nb)))
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    words = jnp.sum(bitsp.reshape(b, nw, 32) << shifts, axis=-1,
+                    dtype=jnp.uint32)
     cols = [ok.astype(jnp.int32)[:, None],
             flips.astype(jnp.int32)[:, None],
             p0.astype(jnp.int32)[:, None],
@@ -469,7 +484,8 @@ def _pack_results(ok, flips, p0, sync_gate, cfo, snr):
             jax.lax.bitcast_convert_type(
                 cfo.astype(jnp.float32), jnp.int32)[:, None],
             jax.lax.bitcast_convert_type(
-                snr.astype(jnp.float32), jnp.int32)]
+                snr.astype(jnp.float32), jnp.int32),
+            jax.lax.bitcast_convert_type(words, jnp.int32)]
     return jnp.concatenate(cols, axis=1)
 
 

@@ -566,12 +566,15 @@ class Synchronizer:
         pending = []
         g0 = 0
         while g0 < n_chunks:
-            # greedy power-of-two super-batch decomposition (10 chunks
-            # -> calls of 8 + 2): every call shape comes from a ladder
-            # of at most log2(MAX_CHUNKS_PER_CALL)+1 compiled graphs
-            # per chunk size, with no wasted pad-chunk compute
+            # super-batch decomposition: a remainder that fits one call
+            # goes EXACTLY (10 chunks -> ONE call of 10; each remainder
+            # m <= 16 lazily compiles its own graph, a set bounded by
+            # MAX_CHUNKS_PER_CALL — every jit dispatch through the
+            # tunnel costs a round trip, so short recordings should
+            # take one, not a pow2 ladder of them); longer recordings
+            # stream MAX-sized calls until the remainder fits
             rem = n_chunks - g0
-            m = min(self.MAX_CHUNKS_PER_CALL, 1 << (rem.bit_length() - 1))
+            m = min(self.MAX_CHUNKS_PER_CALL, rem)
             if self.mesh is not None:   # chunk axis divides the mesh
                 nd = self.mesh.devices.size
                 m = max(nd, -(-m // nd) * nd)
