@@ -18,6 +18,7 @@ allow |diff| <= 1 on < 0.5% of fingerprint samples, never more.
 import os
 
 import numpy as np
+import pytest
 
 from modem_tpu import bits as B
 from modem_tpu.encoder import Encoder
@@ -67,6 +68,34 @@ def test_golden_recording_decodes():
     assert res.payload == payload
     assert res.oper_mode == 6
     assert res.call_sign == "N0CALL"
+
+
+@pytest.mark.parametrize("conv", ["galois", "fibonacci", "msb"])
+def test_golden_per_convention_fixture_decodes(conv):
+    """One frozen recording PER MLS convention (tools/
+    gen_golden_fixtures.py): the material for the docs/WIRE_FORMAT.md
+    golden-waveform handshake — an environment with the reference
+    aicodix binary identifies upstream mls.hh's convention by running
+    `decode` on each file (mls.hh call sites encode.cc:134,144,165 /
+    decode.cc:238,407).  Here the AUTO receiver must decode every
+    fixture byte-exact AND commit the fixture's own convention (the
+    recovered CFO pins it: a wrong-convention alias shifts the
+    estimate by a multiple of the 2x bin spacing)."""
+    from modem_tpu import wav
+    from modem_tpu.decoder import Decoder
+
+    payload = np.load(os.path.join(
+        _DATA, "waveform_pin_payload_seed.npy")).tobytes()
+    data = wav.read_wav(os.path.join(
+        _DATA, f"golden_mode6_{conv}.wav"))
+    assert data.rate == 8000 and data.channels == 2
+    dec = Decoder(8000, mls_convention="auto")
+    res = dec.decode(data.samples[:, :2], channels=2)
+    assert res.ok, (conv, res.status)
+    assert res.payload == payload
+    assert res.oper_mode == 6
+    assert res.call_sign == "N0CALL"
+    assert abs(res.cfo_hz - 2000.0) < 1.0, (conv, res.cfo_hz)
 
 
 def test_mls_sequence_value_pins():
