@@ -22,8 +22,13 @@ sigma^2/fs for two independent quadratures), so signal recovery is
 identical and in-band noise is +3 dB.  A measured offset of ~3 dB
 therefore means the front-end has ~zero excess implementation loss.
 
-Usage: python bench/mono_sweep.py [batch] [mode] [spread] [levels...]
+Usage: python bench/mono_sweep.py [--window=W] [--mono-only]
+                                  [batch] [mode] [spread] [levels...]
   levels: AWGN dB levels (default -40..-16 coarse grid)
+  --window=W: Hilbert FIR window A/B (blackman/hamming/hann/rect/
+    kaiser6/kaiser9 — dsp.HILBERT_WINDOW); wire-format irrelevant,
+    mono-sensitivity relevant (VERDICT r4 weak #5 / task 8)
+  --mono-only: skip the analytic column (window A/Bs only move mono)
 """
 
 import sys
@@ -36,6 +41,14 @@ sys.path.insert(0, ".")
 def main():
     from modem_tpu import apply_env_platform
     apply_env_platform()
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    sys.argv = [sys.argv[0]] + args
+    mono_only = "--mono-only" in flags
+    from modem_tpu import dsp
+    for f in flags:
+        if f.startswith("--window="):
+            dsp.HILBERT_WINDOW = f.split("=", 1)[1]
     from modem_tpu import bits as B
     from modem_tpu import channel
     from modem_tpu.encoder import Encoder
@@ -59,7 +72,8 @@ def main():
     pipe = BatchPipeline(8000, mode)
     print(f"mode {mode}, batch {batch}, spread x{spread}; chain = "
           "multipath + CFO 234.567 Hz + SFO 147 ppm + AWGN; "
-          "analytic vs mono-int16 (device Hilbert front-end):",
+          "analytic vs mono-int16 (device Hilbert front-end, "
+          f"window={dsp.HILBERT_WINDOW}):",
           flush=True)
     levels = ([float(a) for a in sys.argv[4:]] if len(sys.argv) > 4
               else [-40, -35, -30, -25, -22, -20, -18, -17, -16])
@@ -71,10 +85,13 @@ def main():
             y = channel.sfo(y, 147.0)
             y = channel.awgn(y, awgn_db, np.random.default_rng(100 + i))
             recs.append(y[: len(clean[0])])
-        res = pipe.decode_batch(np.stack(recs))
-        ok_a = sum(bool(np.asarray(res["ok"])[i]) and
-                   pipe.payload_bytes(res, i) == payloads[i]
-                   for i in range(batch))
+        if mono_only:
+            ok_a = "-"
+        else:
+            res = pipe.decode_batch(np.stack(recs))
+            ok_a = sum(bool(np.asarray(res["ok"])[i]) and
+                       pipe.payload_bytes(res, i) == payloads[i]
+                       for i in range(batch))
         ok_m = 0
         for i, y in enumerate(recs):
             q = np.clip(np.rint(y.real * 32767.0), -32768,

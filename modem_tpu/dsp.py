@@ -34,13 +34,37 @@ def block_dc(x, window: int):
     return x - s / cnt
 
 
+# Window applied to the ideal Hilbert response.  Upstream hilbert.hh
+# is unmounted, so the exact choice is a designed-by-measurement
+# default, not a parity pin: bench/mono_sweep.py --window A/Bs the
+# candidates through the full impaired mono chain and the measured
+# deltas live in docs/PERFORMANCE.md ("Mono front-end").  Wire-format
+# irrelevant either way (SURVEY.md Appendix A).
+HILBERT_WINDOW = "blackman"
+
+_WINDOWS = {
+    "blackman": np.blackman,
+    "hamming": np.hamming,
+    "hann": np.hanning,
+    "rect": np.ones,
+    "kaiser6": lambda n: np.kaiser(n, 6.0),
+    "kaiser9": lambda n: np.kaiser(n, 9.0),
+}
+
+
+def hilbert_taps(taps: int, window: str | None = None) -> np.ndarray:
+    # resolve the default BEFORE the cache key: a caller that flips
+    # HILBERT_WINDOW (the A/B bench) must not hit a stale entry
+    return _hilbert_taps(taps, window or HILBERT_WINDOW)
+
+
 @functools.lru_cache(maxsize=None)
-def hilbert_taps(taps: int) -> np.ndarray:
+def _hilbert_taps(taps: int, window: str) -> np.ndarray:
     m = np.arange(taps) - (taps - 1) // 2
     h = np.zeros(taps)
     odd = m % 2 != 0
     h[odd] = 2.0 / (np.pi * m[odd])
-    return (h * np.blackman(taps)).astype(np.float32)
+    return (h * _WINDOWS[window](taps)).astype(np.float32)
 
 
 def analytic(x, taps: int):
