@@ -99,7 +99,8 @@ def main():
             p0=jnp.zeros(batch, jnp.int32),
             cfo_rad=jnp.zeros(batch, jnp.float32),
             snr=jnp.zeros((batch, pipe.cfg.mode.cons_rows), jnp.float32),
-            sync_gate=jnp.ones(batch, bool))
+            sync_gate=jnp.ones(batch, bool),
+            multiframe=jnp.zeros(batch, bool))
         _, back_fn = pipe._staged_fns(batch)
         front2 = dict(front, llrs=front["llrs"] * 1.01)
         clock("fec back-end", back_fn, (front,), (front2,))

@@ -214,10 +214,13 @@ class BatchPipeline:
         bumps above thr_hi; a second frame's own preamble peak always
         lies >= frame_samples after the first, outside the span."""
         s = self.sync
-        timing, phase = s._metrics(x)
+        timing, p_re, p_im = s._metrics_parts(x)
         n_max = jnp.argmax(timing)
         p0 = n_max - s.match_del
-        fc = phase[jnp.maximum(n_max - s.match_del, 0)] / s.L
+        # phase only at the committed index: a full-length arctan2 is
+        # ~45M transcendentals per 512-batch the argmax never reads
+        i = jnp.maximum(n_max - s.match_del, 0)
+        fc = jnp.arctan2(p_im[i], p_re[i]) / s.L
         idx = jnp.arange(timing.shape[0])
         sg = self.cfg.symbol_len + self.cfg.guard_len
         inside = ((idx >= n_max - 2 * sg)

@@ -236,10 +236,11 @@ class Synchronizer:
         self.mesh = None
 
     # -- stage 1: whole-recording timing metric ---------------------------
-    def _metrics(self, x, valid_from=None):
-        """x: [T, 2] split-complex recording -> (timing, phase) arrays
-        indexed so that timing[n] corresponds to a S&C symbol whose
-        payload starts at n - match_del (before the fine correction).
+    def _metrics_parts(self, x, valid_from=None):
+        """x: [T, 2] split-complex recording -> (timing, p_re, p_im)
+        arrays indexed so that timing[n] corresponds to a S&C symbol
+        whose payload starts at n - match_del (before the fine
+        correction); phase[n] = arctan2(p_im, p_re)[n].
 
         ``valid_from`` (traced scalar): zero the correlation products
         and power terms at indices below it.  A chunk whose left
@@ -263,8 +264,17 @@ class Synchronizer:
         power = window_sum(pb, 2 * L)
         r = jnp.maximum(0.5 * power, 1e-4 * L)
         timing = window_sum((p_re**2 + p_im**2) / (r * r), self.match_len)
+        return (timing.astype(jnp.float32), p_re.astype(jnp.float32),
+                p_im.astype(jnp.float32))
+
+    def _metrics(self, x, valid_from=None):
+        """(timing, phase) over the whole recording — the scan/stream
+        paths report phase at every event position.  The batch path
+        reads phase at ONE index and uses :meth:`_metrics_parts` to
+        skip the full-length arctan2."""
+        timing, p_re, p_im = self._metrics_parts(x, valid_from)
         phase = jnp.arctan2(p_im, p_re)
-        return timing.astype(jnp.float32), phase.astype(jnp.float32)
+        return timing, phase.astype(jnp.float32)
 
     # -- stage 2: fine timing / CFO at one candidate ----------------------
     def _fine_stage(self, window, frac_cfo):
