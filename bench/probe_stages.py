@@ -76,7 +76,10 @@ def main():
     if "sync" in stages:
         sync = pipe.sync
         fA = jax.jit(jax.vmap(sync._metrics))
-        clock("sync metrics", fA, (recs,), (recs * 1.01,))
+        clock("sync metrics (full phase)", fA, (recs,), (recs * 1.01,))
+        fA2 = jax.jit(jax.vmap(sync._metrics_parts))
+        clock("sync metrics (parts, batch path)", fA2, (recs,),
+              (recs * 1.01,))
     if "front" in stages:
         fB = jax.jit(jax.vmap(pipe._demod_one))
         clock("front demod", fB, (recs,), (recs * 1.01,))
