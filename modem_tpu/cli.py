@@ -81,9 +81,9 @@ def cmd_encode(argv: list[str]) -> int:
         print(f"{e}.".replace("..", "."), file=sys.stderr)
         return 1
 
-    from .encoder import Encoder
+    from .encoder import cached_encoder
     payloads = [_read_input(name, len(inputs) == 1) for name in inputs]
-    enc = Encoder(cfg)
+    enc = cached_encoder(cfg)
     wave_c, papr = enc.encode(payloads, call_sign)
 
     def db(x):
@@ -119,9 +119,9 @@ def cmd_decode(argv: list[str]) -> int:
         print("Only real or analytic signal (one or two channels) "
               "supported.", file=sys.stderr)
         return 1
-    from .decoder import Decoder
+    from .decoder import cached_decoder
     try:
-        dec = Decoder(data.rate)
+        dec = cached_decoder(data.rate)
     except ValueError:
         print("Unsupported sample rate.", file=sys.stderr)
         return 1

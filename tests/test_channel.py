@@ -12,14 +12,15 @@ import pytest
 
 from modem_tpu import bits as B
 from modem_tpu import channel
-from modem_tpu.encoder import Encoder
+from modem_tpu.decoder import cached_decoder
+from modem_tpu.encoder import cached_encoder
 from modem_tpu.numerology import make_config
 
 
 @pytest.fixture(scope="module")
 def mode6():
     cfg = make_config(8000, 6, 2000)
-    enc = Encoder(cfg)
+    enc = cached_encoder(cfg)
     rng = np.random.default_rng(7)
     payload = rng.integers(0, 256, cfg.mode.data_bytes,
                            dtype=np.uint8).tobytes()
@@ -29,8 +30,7 @@ def mode6():
 
 
 def _decode(rec, payload):
-    from modem_tpu.decoder import Decoder
-    res = Decoder(8000).decode(rec, channels=2)
+    res = cached_decoder(8000).decode(rec, channels=2)
     assert res.ok, res.status
     assert res.payload == payload
     return res

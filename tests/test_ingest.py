@@ -31,10 +31,10 @@ def _toy_offset_config():
 
 def _toy_pcm(n_copies=5, seed=3, noise=0.01, bits=16, stereo=False):
     from modem_tpu import cplx
-    from modem_tpu.encoder import Encoder
+    from modem_tpu.encoder import cached_encoder
 
     cfg = _toy_offset_config()
-    enc = Encoder(cfg)
+    enc = cached_encoder(cfg)
     rng0 = np.random.default_rng(seed)
     payload = rng0.integers(0, 256, cfg.mode.data_bytes,
                             dtype=np.uint8).tobytes()

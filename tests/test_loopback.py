@@ -9,15 +9,15 @@ import numpy as np
 import pytest
 
 from modem_tpu import bits as B
-from modem_tpu.decoder import Decoder
-from modem_tpu.encoder import Encoder
+from modem_tpu.decoder import Decoder, cached_decoder
+from modem_tpu.encoder import cached_encoder
 from modem_tpu.numerology import make_config
 
 
 @pytest.fixture(scope="module")
 def mode6_wave():
     cfg = make_config(8000, 6, 2000)
-    enc = Encoder(cfg)
+    enc = cached_encoder(cfg)
     rng = np.random.default_rng(99)
     payload = rng.integers(0, 256, cfg.mode.data_bytes,
                            dtype=np.uint8).tobytes()
@@ -28,7 +28,7 @@ def mode6_wave():
 
 def test_loopback_analytic_mode6(mode6_wave):
     cfg, payload, rec, papr = mode6_wave
-    dec = Decoder(8000)
+    dec = cached_decoder(8000)
     res = dec.decode(rec, channels=2)
     assert res.ok, res.status
     assert res.payload == payload
@@ -44,7 +44,7 @@ def test_loopback_analytic_mode6(mode6_wave):
 def test_loopback_real_mono_mode6(mode6_wave):
     """Mono path exercises BlockDC + Hilbert (decode.cc:298-299)."""
     cfg, payload, rec, _ = mode6_wave
-    dec = Decoder(8000)
+    dec = cached_decoder(8000)
     res = dec.decode(rec.real.astype(np.float32), channels=1)
     assert res.ok, res.status
     assert res.payload == payload
@@ -60,7 +60,7 @@ def test_loopback_quantized_16bit(mode6_wave):
         wav.write_wav(path, rec, cfg.rate, 16, 2)
         data = wav.read_wav(path)
         assert data.rate == cfg.rate and data.channels == 2
-        res = Decoder(8000).decode(data.analytic, channels=2)
+        res = cached_decoder(8000).decode(data.analytic, channels=2)
     assert res.ok, res.status
     assert res.payload == payload
 
@@ -86,7 +86,7 @@ def test_loopback_8bit_wav(mode6_wave):
         wav.write_wav(path, rec, cfg.rate, 8, 2)
         data = wav.read_wav(path)
         assert data.bits == 8
-        res = Decoder(8000).decode(data.analytic, channels=2)
+        res = cached_decoder(8000).decode(data.analytic, channels=2)
     assert res.ok, res.status
     assert res.payload == payload
 
@@ -106,7 +106,7 @@ def test_failure_path_transcript(mode6_wave):
         rng.standard_normal(len(rec) - start)
         + 1j * rng.standard_normal(len(rec) - start))
     log = io.StringIO()
-    res = Decoder(8000).decode(rec, channels=2, log=log)
+    res = cached_decoder(8000).decode(rec, channels=2, log=log)
     assert not res.ok
     assert res.status == "payload decoding error."
     lines = log.getvalue().splitlines()
@@ -137,7 +137,7 @@ def test_loopback_mono_impaired(mode6_wave):
     y = channel.awgn(y, -30.0, np.random.default_rng(11))
     q = np.clip(np.rint(y.real * 32767.0), -32768, 32767)
     mono = (q / 32767.0).astype(np.float32)
-    res = Decoder(8000).decode(mono, channels=1)
+    res = cached_decoder(8000).decode(mono, channels=1)
     assert res.ok, res.status
     assert res.payload == payload
 

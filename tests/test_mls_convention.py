@@ -19,8 +19,8 @@ import numpy as np
 import pytest
 
 from modem_tpu import bits as B
-from modem_tpu.decoder import Decoder
-from modem_tpu.encoder import Encoder
+from modem_tpu.decoder import cached_decoder
+from modem_tpu.encoder import cached_encoder
 from modem_tpu.numerology import (MLS0_POLY, MLS1_POLY, MLS2_POLY,
                                   make_config)
 
@@ -68,7 +68,7 @@ def test_convention_sequence_relations():
 def _encode(convention: str):
     cfg = dataclasses.replace(make_config(8000, 6, 2000),
                               mls_convention=convention)
-    enc = Encoder(cfg)
+    enc = cached_encoder(cfg)
     rng = np.random.default_rng(7)
     payload = rng.integers(0, 256, cfg.mode.data_bytes,
                            dtype=np.uint8).tobytes()
@@ -84,7 +84,7 @@ def fibonacci_wave():
 
 def test_auto_receiver_decodes_fibonacci(fibonacci_wave):
     payload, rec = fibonacci_wave
-    dec = Decoder(8000, mls_convention="auto")
+    dec = cached_decoder(8000, mls_convention="auto")
     res = dec.decode(rec, channels=2)
     assert res.ok, res.status
     assert res.payload == payload
@@ -95,7 +95,7 @@ def test_auto_receiver_decodes_fibonacci(fibonacci_wave):
 
 def test_auto_receiver_decodes_msb():
     payload, rec = _encode("msb")
-    dec = Decoder(8000, mls_convention="auto")
+    dec = cached_decoder(8000, mls_convention="auto")
     res = dec.decode(rec, channels=2)
     assert res.ok, res.status
     assert res.payload == payload
@@ -107,7 +107,7 @@ def test_galois_receiver_rejects_fibonacci(fibonacci_wave):
     convention receiver must fail on a foreign wave (this is exactly
     the dormant wire-format risk vs the reference binary)."""
     _payload, rec = fibonacci_wave
-    res = Decoder(8000).decode(rec, channels=2)
+    res = cached_decoder(8000).decode(rec, channels=2)
     assert not res.ok
 
 
@@ -116,7 +116,7 @@ def test_headers_batch_commits_detected_convention(fibonacci_wave):
     gate-passing hypotheses in one jit and commits the validating one
     into the candidate (SyncCandidate.accept)."""
     _payload, rec = fibonacci_wave
-    dec = Decoder(8000, mls_convention="auto")
+    dec = cached_decoder(8000, mls_convention="auto")
     from modem_tpu import cplx
     x = cplx.from_np(np.asarray(rec))
     cands = [c for c in dec.sync.scan(x) if c.ok]

@@ -11,15 +11,15 @@ import numpy as np
 import pytest
 
 from modem_tpu import bits as B
-from modem_tpu.encoder import Encoder
+from modem_tpu.encoder import cached_encoder
 from modem_tpu.numerology import MODES, make_config
-from modem_tpu.pipeline import BatchPipeline
+from modem_tpu.pipeline import cached_pipeline
 
 
 @pytest.mark.parametrize("mode", sorted(MODES))
 def test_mode_loopback_pipeline(mode):
     cfg = make_config(8000, mode, 2000)
-    enc = Encoder(cfg)
+    enc = cached_encoder(cfg)
     rng = np.random.default_rng(mode)
     payload = rng.integers(0, 256, cfg.mode.data_bytes,
                            dtype=np.uint8).tobytes()
@@ -27,7 +27,7 @@ def test_mode_loopback_pipeline(mode):
     sil = np.zeros(cfg.rate // 4, dtype=np.complex64)
     rec = np.concatenate([sil, wave, sil])[None, :]
 
-    pipe = BatchPipeline(8000, mode)
+    pipe = cached_pipeline(8000, mode)
     res = pipe.decode_batch(rec)
     assert bool(np.asarray(res["ok"])[0])
     assert int(np.asarray(res["flips"])[0]) == 0

@@ -8,15 +8,15 @@ import numpy as np
 import pytest
 
 from modem_tpu import bits as B
-from modem_tpu.decoder import Decoder
-from modem_tpu.encoder import Encoder
+from modem_tpu.decoder import cached_decoder
+from modem_tpu.encoder import cached_encoder
 from modem_tpu.numerology import make_config
 
 
 @pytest.fixture(scope="module")
 def two_frames():
     cfg = make_config(8000, 6, 2000)
-    enc = Encoder(cfg)
+    enc = cached_encoder(cfg)
     rng = np.random.default_rng(5)
     payloads = [rng.integers(0, 256, cfg.mode.data_bytes,
                              dtype=np.uint8).tobytes() for _ in range(2)]
@@ -30,7 +30,7 @@ def two_frames():
 
 def test_skip_selects_frame(two_frames):
     cfg, payloads, rec = two_frames
-    dec = Decoder(8000)
+    dec = cached_decoder(8000)
     r0 = dec.decode(rec, channels=2, skip=0)
     assert r0.ok and r0.payload == payloads[0]
     r1 = dec.decode(rec, channels=2, skip=1)
@@ -42,10 +42,10 @@ def test_skip_selects_frame(two_frames):
 def test_decode_recording_batches_all_frames(two_frames):
     """Serving path: every frame in one recording decodes in a single
     batched call (pipeline.decode_recording)."""
-    from modem_tpu.pipeline import BatchPipeline
+    from modem_tpu.pipeline import cached_pipeline
 
     cfg, payloads, rec = two_frames
-    pipe = BatchPipeline(8000, 6)
+    pipe = cached_pipeline(8000, 6)
     res, pos = pipe.decode_recording(rec)
     assert res is not None and len(pos) == 2
     assert (pos[1] - pos[0]) == cfg.frame_samples
@@ -64,7 +64,7 @@ def test_decode_recording_auto_mixed_modes():
     waves, payloads = [], []
     for mode, call in ((10, "AB1CDE"), (12, "N0CALL")):
         cfg = make_config(8000, mode, 2000)
-        enc = Encoder(cfg)
+        enc = cached_encoder(cfg)
         p = rng.integers(0, 256, cfg.mode.data_bytes,
                          dtype=np.uint8).tobytes()
         wave, _ = enc.encode(p, B.base37_encode(call))
@@ -112,7 +112,7 @@ def test_decode_recording_auto_reports_header_rejects(two_frames):
 def test_decode_recording_isolates_corrupt_frame(two_frames):
     """A destroyed frame must fail alone: its neighbors still decode
     bit-exact through the batched serving path."""
-    from modem_tpu.pipeline import BatchPipeline
+    from modem_tpu.pipeline import cached_pipeline
 
     cfg, payloads, rec = two_frames
     rec = np.array(rec)
@@ -121,7 +121,7 @@ def test_decode_recording_isolates_corrupt_frame(two_frames):
     pos1 = 8000 + cfg.extended_len + cfg.frame_samples  # 2nd frame p0
     lo = pos1 + 3 * cfg.extended_len
     rec[lo: lo + 40 * cfg.extended_len] = 0.0
-    pipe = BatchPipeline(8000, 6)
+    pipe = cached_pipeline(8000, 6)
     res, pos = pipe.decode_recording(rec)
     assert len(pos) == 2
     ok = np.asarray(res["ok"])
@@ -141,7 +141,7 @@ def test_chunked_encode_matches_whole_graph():
     from modem_tpu.parallel import toy_config
 
     cfg = toy_config()
-    enc = Encoder(cfg)
+    enc = cached_encoder(cfg)
     rng = np.random.default_rng(0)
     whole = jax.jit(enc._encode_traced, static_argnames=("n_frames",))
     for n in (1, 3, 9):

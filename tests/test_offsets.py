@@ -12,14 +12,14 @@ import pytest
 
 from modem_tpu import bits as B
 from modem_tpu.decoder import cached_decoder
-from modem_tpu.encoder import Encoder
+from modem_tpu.encoder import cached_encoder
 from modem_tpu.numerology import make_config
 
 
 @pytest.mark.parametrize("freq_off", [2400, -2400])
 def test_band_edge_offset_loopback(freq_off):
     cfg = make_config(8000, 10, freq_off, channels=2)
-    enc = Encoder(cfg)
+    enc = cached_encoder(cfg)
     rng = np.random.default_rng(11 + abs(freq_off))
     payload = rng.integers(0, 256, cfg.mode.data_bytes,
                            dtype=np.uint8).tobytes()

@@ -77,9 +77,13 @@ def test_osd_matches_exhaustive_oracle():
     g = bch.generator_matrix()
     dev = jax.jit(lambda s: osd_decode(s))
     rng = np.random.default_rng(777)
-    cases = ([(0.9, 32, 0.0)] * 3 + [(1.2, 32, 0.0)] * 2
-             + [(1.0, 4, 0.0)] * 2      # coarse quant -> frequent ties
-             + [(0.8, 32, 0.3)] * 2)    # erasure-heavy
+    # one seeded case per regime (the full 200-header A/B plus
+    # repetition depth lives in bench/ab_osd.py; the serial oracle
+    # enumerates 972k patterns per case, so CI keeps the minimal
+    # regime-covering set)
+    cases = ([(0.9, 32, 0.0)] * 2 + [(1.2, 32, 0.0)]
+             + [(1.0, 4, 0.0)]          # coarse quant -> frequent ties
+             + [(0.8, 32, 0.3)])        # erasure-heavy
     softs = []
     for sigma, quant, efrac in cases:
         u = rng.integers(0, 2, 71, dtype=np.uint8)

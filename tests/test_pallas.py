@@ -25,8 +25,14 @@ def toy_llrs():
     return cw, llrs
 
 
-@pytest.mark.parametrize("frames_per_cell", [1, 2, 4])
-@pytest.mark.parametrize("exact", [False, True])
+# default lane keeps one case per axis value (exact x {1,4} lane
+# layouts + one fast-mode case); the remaining combinations add no
+# new code path and run opt-in (pytest -m slow)
+@pytest.mark.parametrize("exact,frames_per_cell", [
+    (True, 1), (True, 4), (False, 2),
+    pytest.param(True, 2, marks=pytest.mark.slow),
+    pytest.param(False, 1, marks=pytest.mark.slow),
+    pytest.param(False, 4, marks=pytest.mark.slow)])
 def test_pallas_matches_xla_vm(toy_llrs, frames_per_cell, exact):
     cw, llrs = toy_llrs
     ref = jax.jit(jax.vmap(make_decoder(TOY.frozen, 8, exact=exact)))
@@ -139,7 +145,8 @@ def test_pallas_rank_select_bit_exact(toy_llrs, exact):
     assert np.array_equal(pm_b, pm_r)
 
 
-@pytest.mark.parametrize("exact", [False, True])
+@pytest.mark.parametrize("exact", [
+    pytest.param(False, marks=pytest.mark.slow), True])
 def test_pallas_unroll_bit_exact(toy_llrs, exact):
     """unroll=True (static trace-time schedule expansion — no op
     table, no switch, every offset/width/roll a compile-time
@@ -169,10 +176,21 @@ def test_pallas_unroll_bit_exact_all_wire_op_types():
     unroll path fails here, not only on the manual chip probe.
     (exact=False differs only in leaf-op CHOICE, all covered by the
     toy test + n=56 here, so the big codes run the serving default
-    only — unroll interpret mode costs minutes per run.)"""
+    only — unroll interpret mode costs minutes per run.  unroll=True
+    is a non-default mode closed as a wire-size negative, so only the
+    cheap n=56 wiring smoke stays in the default lane; the n=960 and
+    n=2048 coverage extensions are opt-in, pytest -m slow.)"""
     _run_unroll_parity_cases([
         (PolarCode(n=56, k=36, order=6), 0.6, True),
-        (PolarCode(n=56, k=36, order=6), 0.6, False),
+        (PolarCode(n=56, k=36, order=6), 0.6, False)])
+
+
+@pytest.mark.slow
+def test_pallas_unroll_bit_exact_tier2_ops():
+    """n=960 coverage extension: plain tier-2 leaves {18,21} and
+    C/F0/G0 {2,10,11} through the unroll path (opt-in slow lane,
+    like the n=2048 wide-op case below)."""
+    _run_unroll_parity_cases([
         (PolarCode(n=960, k=480, order=10), 0.5, True)])
 
 

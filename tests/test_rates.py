@@ -9,21 +9,22 @@ import numpy as np
 import pytest
 
 from modem_tpu import bits as B
-from modem_tpu.encoder import Encoder
+from modem_tpu.decoder import cached_decoder
+from modem_tpu.encoder import cached_encoder
 from modem_tpu.numerology import make_config
-from modem_tpu.pipeline import BatchPipeline
+from modem_tpu.pipeline import cached_pipeline
 
 
 def test_loopback_16k_pipeline():
     cfg = make_config(16000, 10, 2000)
-    enc = Encoder(cfg)
+    enc = cached_encoder(cfg)
     rng = np.random.default_rng(0)
     payload = rng.integers(0, 256, cfg.mode.data_bytes,
                            dtype=np.uint8).tobytes()
     wave, _ = enc.encode(payload, B.base37_encode("N0CALL"))
     sil = np.zeros(cfg.rate // 4, dtype=np.complex64)
     rec = np.concatenate([sil, wave, sil])[None, :]
-    pipe = BatchPipeline(16000, 10)
+    pipe = cached_pipeline(16000, 10)
     res = pipe.decode_batch(rec)
     assert bool(np.asarray(res["ok"])[0])
     assert pipe.payload_bytes(res, 0) == payload
@@ -32,14 +33,14 @@ def test_loopback_16k_pipeline():
 def test_loopback_44k_pipeline():
     """Full mixed-radix (7056-point) encode->decode loopback."""
     cfg = make_config(44100, 13, 2000)
-    enc = Encoder(cfg)
+    enc = cached_encoder(cfg)
     rng = np.random.default_rng(44)
     payload = rng.integers(0, 256, cfg.mode.data_bytes,
                            dtype=np.uint8).tobytes()
     wave, _ = enc.encode(payload, B.base37_encode("N0CALL"))
     sil = np.zeros(cfg.rate // 8, dtype=np.complex64)
     rec = np.concatenate([sil, wave, sil])[None, :]
-    pipe = BatchPipeline(44100, 13)
+    pipe = cached_pipeline(44100, 13)
     res = pipe.decode_batch(rec)
     assert bool(np.asarray(res["ok"])[0])
     assert pipe.payload_bytes(res, 0) == payload
@@ -49,7 +50,7 @@ def test_loopback_44k_pipeline():
 def test_encoder_high_rates_spectrum(rate, fft_len):
     cfg = make_config(rate, 13, 2000)
     assert cfg.symbol_len == fft_len
-    enc = Encoder(cfg)
+    enc = cached_encoder(cfg)
     rng = np.random.default_rng(rate)
     payload = rng.integers(0, 256, cfg.mode.data_bytes,
                            dtype=np.uint8).tobytes()
@@ -68,14 +69,14 @@ def test_encoder_high_rates_spectrum(rate, fft_len):
 def test_loopback_48k_pipeline():
     """48 kHz (7680-point) full encode->decode loopback."""
     cfg = make_config(48000, 10, 2000)
-    enc = Encoder(cfg)
+    enc = cached_encoder(cfg)
     rng = np.random.default_rng(48)
     payload = rng.integers(0, 256, cfg.mode.data_bytes,
                            dtype=np.uint8).tobytes()
     wave, _ = enc.encode(payload, B.base37_encode("N0CALL"))
     sil = np.zeros(cfg.rate // 8, dtype=np.complex64)
     rec = np.concatenate([sil, wave, sil])[None, :]
-    pipe = BatchPipeline(48000, 10)
+    pipe = cached_pipeline(48000, 10)
     res = pipe.decode_batch(rec)
     assert bool(np.asarray(res["ok"])[0])
     assert pipe.payload_bytes(res, 0) == payload
@@ -87,14 +88,14 @@ def test_loopback_16k_real_mono():
     from modem_tpu.decoder import Decoder
 
     cfg = make_config(16000, 10, 2000)
-    enc = Encoder(cfg)
+    enc = cached_encoder(cfg)
     rng = np.random.default_rng(16)
     payload = rng.integers(0, 256, cfg.mode.data_bytes,
                            dtype=np.uint8).tobytes()
     wave, _ = enc.encode(payload, B.base37_encode("N0CALL"))
     sil = np.zeros(cfg.rate // 4, dtype=np.float32)
     rec = np.concatenate([sil, wave.real.astype(np.float32), sil])
-    res = Decoder(16000).decode(rec, channels=1)
+    res = cached_decoder(16000).decode(rec, channels=1)
     assert res.ok and res.payload == payload
 
 
@@ -104,7 +105,7 @@ def test_noise_only_finds_no_preamble():
     rng = np.random.default_rng(0)
     noise = 0.1 * (rng.standard_normal(60000) +
                    1j * rng.standard_normal(60000))
-    res = Decoder(8000).decode(noise.astype(np.complex64), channels=2)
+    res = cached_decoder(8000).decode(noise.astype(np.complex64), channels=2)
     assert not res.ok
     assert res.payload is None
 
@@ -116,12 +117,12 @@ def test_loopback_44k_real_mono():
     from modem_tpu.decoder import Decoder
 
     cfg = make_config(44100, 13, 2000)
-    enc = Encoder(cfg)
+    enc = cached_encoder(cfg)
     rng = np.random.default_rng(441)
     payload = rng.integers(0, 256, cfg.mode.data_bytes,
                            dtype=np.uint8).tobytes()
     wave, _ = enc.encode(payload, B.base37_encode("N0CALL"))
     sil = np.zeros(cfg.rate // 8, dtype=np.float32)
     rec = np.concatenate([sil, wave.real.astype(np.float32), sil])
-    res = Decoder(44100).decode(rec, channels=1)
+    res = cached_decoder(44100).decode(rec, channels=1)
     assert res.ok and res.payload == payload

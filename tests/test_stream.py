@@ -13,7 +13,7 @@ import pytest
 
 from modem_tpu import bits as B
 from modem_tpu import cplx
-from modem_tpu.encoder import Encoder
+from modem_tpu.encoder import cached_encoder
 from modem_tpu.ingest import PcmRecording
 from modem_tpu.numerology import make_config
 from modem_tpu.pipeline import decode_recording_auto
@@ -26,7 +26,7 @@ def two_frame_rec():
     payloads = [rng.integers(0, 256, 5380, dtype=np.uint8).tobytes()
                 for _ in range(2)]
     cfg = make_config(8000, 10, 2300)
-    wave, _ = Encoder(cfg).encode(payloads, B.base37_encode("AB1CDE"))
+    wave, _ = cached_encoder(cfg).encode(payloads, B.base37_encode("AB1CDE"))
     rec = np.concatenate([np.zeros(8000, np.complex64), wave,
                           np.zeros(8000, np.complex64)])
     return rec, payloads
@@ -161,7 +161,7 @@ def test_stream_mixed_modes():
         cfg = mk(8000, mode, 2000)
         p = rng.integers(0, 256, cfg.mode.data_bytes,
                          dtype=np.uint8).tobytes()
-        wave, _ = Encoder(cfg).encode(p, B.base37_encode(call))
+        wave, _ = cached_encoder(cfg).encode(p, B.base37_encode(call))
         waves.append(wave)
         payloads.append(p)
     gap = np.zeros(2000, dtype=np.complex64)
@@ -220,7 +220,7 @@ def test_stream_16k_mono():
     rng = np.random.default_rng(13)
     payload = rng.integers(0, 256, 5380, dtype=np.uint8).tobytes()
     cfg = make_config(16000, 10, 2300)
-    wave, _ = Encoder(cfg).encode([payload], B.base37_encode("AB1CDE"))
+    wave, _ = cached_encoder(cfg).encode([payload], B.base37_encode("AB1CDE"))
     rec = np.concatenate([np.zeros(16000, np.complex64), wave,
                           np.zeros(16000, np.complex64)])
     mono = np.clip(np.rint(rec.real * 32767), -32768,

@@ -157,7 +157,10 @@ def test_dense_edges_per_chunk_cap_equivalence():
     sync = Synchronizer(toy_config())
     host = sync.scan(x, max_candidates=2, host=True)
     assert len(host) >= 2
-    for chunk in (2048, 8192, 1 << 16, 1 << 17):
+    # two chunk sizes pin the invariant (it is size-independent by
+    # the superset argument above): the smallest exercises many-chunk
+    # truncation, 2^17 is the production default
+    for chunk in (2048, 1 << 17):
         dev = sync.scan(x, max_candidates=2, chunk_samples=chunk)
         assert [(c.p0, c.ok) for c in dev] == \
             [(c.p0, c.ok) for c in host], chunk

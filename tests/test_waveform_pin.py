@@ -21,7 +21,8 @@ import numpy as np
 import pytest
 
 from modem_tpu import bits as B
-from modem_tpu.encoder import Encoder
+from modem_tpu.decoder import cached_decoder
+from modem_tpu.encoder import cached_encoder
 from modem_tpu.numerology import make_config
 
 _DATA = os.path.join(os.path.dirname(__file__), "data")
@@ -33,7 +34,7 @@ def test_mode6_waveform_fingerprint():
     payload = np.load(os.path.join(
         _DATA, "waveform_pin_payload_seed.npy")).tobytes()
     cfg = make_config(8000, 6, 2000)
-    wave, _ = Encoder(cfg).encode(payload, B.base37_encode("N0CALL"))
+    wave, _ = cached_encoder(cfg).encode(payload, B.base37_encode("N0CALL"))
     q = np.clip(np.rint(wave.real * 32767.0), -32768,
                 32767).astype(np.int16)
     qi = np.clip(np.rint(wave.imag * 32767.0), -32768,
@@ -63,7 +64,7 @@ def test_golden_recording_decodes():
     data = wav.read_wav(os.path.join(
         _DATA, "golden_mode6_galois.wav"))
     assert data.rate == 8000 and data.channels == 2
-    res = Decoder(8000).decode(data.samples[:, :2], channels=2)
+    res = cached_decoder(8000).decode(data.samples[:, :2], channels=2)
     assert res.ok, res.status
     assert res.payload == payload
     assert res.oper_mode == 6
@@ -89,7 +90,7 @@ def test_golden_per_convention_fixture_decodes(conv):
     data = wav.read_wav(os.path.join(
         _DATA, f"golden_mode6_{conv}.wav"))
     assert data.rate == 8000 and data.channels == 2
-    dec = Decoder(8000, mls_convention="auto")
+    dec = cached_decoder(8000, mls_convention="auto")
     res = dec.decode(data.samples[:, :2], channels=2)
     assert res.ok, (conv, res.status)
     assert res.payload == payload
