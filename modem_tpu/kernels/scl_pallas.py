@@ -836,14 +836,24 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                             BIG / 2)
 
         # ---- helpers --------------------------------------------------
+        # L == 1 (plain successive cancellation, the adaptive-decode
+        # fast path — docs/SCL_KERNEL.md §8): each frame owns exactly
+        # one lane, every fork selects its own lane's best candidate,
+        # so the lane indirections stay identity forever.  All permute
+        # machinery (one-hot matmul reads, refs bookkeeping) resolves
+        # away at trace time.
         def read_with(perm_col, buf, brow):
             """Lane-permuted read of a bf16-exact buffer (betas)."""
+            if L == 1:
+                return buf[brow].astype(jnp.float32)
             m = perm_matrix(perm_col)
             return jnp.dot(m, buf[brow].astype(jnp.float32),
                            preferred_element_type=jnp.float32)
 
         def read_with_val(perm_col, buf, brow):
             """Lane-permuted read of genuine f32 values (LLR tiles)."""
+            if L == 1:
+                return buf[brow]
             return dot_sel(perm_matrix(perm_col), buf[brow])
 
         def read_llr(d, brow):
@@ -858,6 +868,8 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
             (no permute: within-frame lane permutations are no-ops on
             identical rows, and forks never cross frames)."""
             rows = llr_d0[brow]                            # [F, CHUNK]
+            if L == 1:
+                return rows                                # F == P
             return jnp.reshape(
                 jnp.broadcast_to(rows[:, None, :], (F, L, CHUNK)),
                 (P, CHUNK))
@@ -883,6 +895,8 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
             beta2_s[brow] = val.astype(beta_dt)
 
         def reset_ref(idx, last):
+            if L == 1:
+                return                     # refs are identity forever
             if isinstance(last, (int, np.integer)):
                 # static schedule row (unroll mode, or a literal 1
                 # from a fused op): resolve the guard at trace time
@@ -898,6 +912,8 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
             """refs[:, p] <- refs[:, perm[p]] (identity beyond lane P)
             via one [*, PW] x [PW, PW] one-hot matmul.  refs values
             are lane indices < P <= 256: bf16-exact on the MXU."""
+            if L == 1:
+                return                     # refs are identity forever
             if P == PW:
                 permW = perm_col
             else:
@@ -919,7 +935,12 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                     [row, jnp.full((1, PW - P), BIG, jnp.float32)],
                     axis=1)
 
-        if rank_select:
+        if L == 1:
+            # every select call site resolves to its closed form at
+            # trace time; the selectors (and their iota tables) are
+            # never referenced
+            select_l = select_flat = None
+        elif rank_select:
             select_l = make_select_l_rank()
             select_flat = make_select_flat_rank() if spc_exact else None
         else:
@@ -939,7 +960,7 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
         # row 7 = popcount parity) rather than captured SSA values:
         # eight [P, 128] values live across a 5k-iteration loop send
         # the Mosaic compile time through the roof.
-        if spc_exact and not rank_select:
+        if spc_exact and not rank_select and L > 1:
             pjh = iota2((P, 128), 1).astype(jnp.float32)
             popc = jnp.zeros((P, 128), jnp.float32)
             for j in range(7):
@@ -1108,6 +1129,16 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                     m1 = jnp.sum(jnp.where(m, jnp.maximum(a, 0.0),
                                            0.0),
                                  axis=1, keepdims=True)
+                    if L == 1:
+                        # single path: the all-minus-ones hypothesis
+                        # wins only STRICTLY (tie keeps all-ones,
+                        # matching the selector's keep-before-flip
+                        # candidate order)
+                        sign = jnp.where(m1 < m0, -1.0, 1.0).astype(
+                            jnp.float32)                 # [P, 1]
+                        pm2 = pm_row() + jnp.minimum(m0, m1).T
+                        return (jnp.broadcast_to(sign, (P, CW)), carry,
+                                pm2)
                     perm, flip, pm2 = select_l(pm_row() + m0.T,
                                                m1 - m0)
                     sign = jnp.where(flip > 0, -1.0, 1.0).astype(
@@ -1180,6 +1211,19 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                             jnp.concatenate(idxs_l, axis=1))
 
                 def rate1_core(a, w, carry):
+                    if L == 1:
+                        # SC: zero flips is always the per-lane
+                        # minimum (subset penalties are sums of
+                        # non-negative |llr|; ties pick pattern 0 =
+                        # the lowest flat candidate index), so the
+                        # leaf is a pure hard decision with pm and
+                        # every payload untouched — in BOTH exact and
+                        # fast modes
+                        valid = cmask(w)
+                        b = jnp.where(valid,
+                                      jnp.where(a < 0.0, -1.0, 1.0),
+                                      0.0)
+                        return b, carry, pm_row()
                     if spc_exact:
                         b, carry, _s, pm2 = oneshot_core(a, w, carry,
                                                          None, False)
@@ -1402,7 +1446,34 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                         switched = switched | flip
                     return b, carry, s_col, pm2
 
-                if spc_exact:
+                if L == 1:
+                    def spc_core(a, w, carry, s_col=None):
+                        """L=1 closed form (exact and fast modes
+                        coincide): hard decisions, and on odd parity
+                        flip the least-reliable position and pay its
+                        |llr|.  Any multi-flip candidate costs at
+                        least as much and loses ties on candidate
+                        order (pattern 0 is the lowest flat index);
+                        payloads ride through untouched — no forks."""
+                        valid = cmask(w)
+                        mag = jnp.where(valid, jnp.abs(a), BIG)
+                        b = jnp.where(valid,
+                                      jnp.where(a < 0.0, -1.0, 1.0),
+                                      0.0)
+                        iota = iota2((P, CW), 1)
+                        negs = jnp.sum(jnp.where(b < 0.0, 1.0, 0.0),
+                                       axis=1, keepdims=True)
+                        odd = negs - 2.0 * jnp.floor(negs / 2.0)
+                        v0 = jnp.min(mag, axis=1, keepdims=True)
+                        i0 = jnp.min(jnp.where(mag == v0, iota, CW),
+                                     axis=1, keepdims=True)
+                        pm2 = pm_row() + (odd * v0).T
+                        b = jnp.where((iota == i0) & (odd > 0.5),
+                                      -b, b)
+                        if s_col is None:
+                            s_col = jnp.ones((P, 1), jnp.float32)
+                        return b, carry, s_col, pm2
+                elif spc_exact:
                     def spc_core(a, w, carry, s_col=None):
                         return oneshot_core(a, w, carry, s_col, True)
                 else:
@@ -1427,6 +1498,17 @@ def make_pallas_decoder(frozen: np.ndarray, list_size: int = 8,
                     m1 = jnp.sum(jnp.where(m, jnp.maximum(f_llr, 0.0),
                                            0.0),
                                  axis=1, keepdims=True)
+                    if L == 1:
+                        # rep_core's L=1 closed form inlined: strict
+                        # win flips, tie keeps; no forks to permute
+                        s_col = jnp.where(m1 < m0, -1.0, 1.0).astype(
+                            jnp.float32)                    # [P, 1]
+                        pm_put(pm_row() + jnp.minimum(m0, m1).T)
+                        g_llr = shl(x, w) + s_col * x
+                        b, carry, s_col, pm3 = spc_core(g_llr, w,
+                                                        carry, s_col)
+                        out = jnp.where(m, s_col * b, shr(b, w))
+                        return out, carry, pm3
                     perm, flip, pm2 = select_l(pm_row() + m0.T,
                                                m1 - m0)
                     s_col = jnp.where(flip > 0, -1.0, 1.0).astype(

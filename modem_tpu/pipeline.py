@@ -127,7 +127,9 @@ class BatchPipeline:
         per_lane = (sched.sz_llr - d0) * 4 + sched.sz_beta * 2
         budget = 106 * 2 ** 20          # scratch + io blocks < 112 MiB
         best = 1
-        for F in (2, 4, 8, 16):
+        # small list sizes (the L=1 adaptive fast path) fit many more
+        # frames per cell under the same 128-lane / VMEM caps
+        for F in (2, 4, 8, 16, 32, 64, 128):
             P = F * self.list_size
             # llr_d0 + input block (f32) + int8 codeword output
             io = F * sched.code_len * (8 + self.list_size)
@@ -490,6 +492,113 @@ def _pack_results(ok, flips, p0, sync_gate, cfo, snr, bits):
                 snr.astype(jnp.float32), jnp.int32),
             jax.lax.bitcast_convert_type(words, jnp.int32)]
     return jnp.concatenate(cols, axis=1)
+
+
+class AdaptivePipeline:
+    """CRC-gated adaptive decode: SC first, exact SCL only on failure.
+
+    Adaptive SCL (Li/Niu/Chen 2012-style CRC-aided list escalation):
+    every frame decodes with plain successive cancellation — the
+    list_size=1 kernel, whose 128 lanes hold 64 FRAMES per schedule
+    pass instead of 16 frames x 8 paths (docs/SCL_KERNEL.md §8) — and
+    only frames whose CRC-32 fails re-decode through the exact list
+    decoder.  At serving SNR virtually every frame passes SC, so the
+    ~96%-of-wall-time SCL stage shrinks to the SC cost.
+
+    Output semantics match the reference path (decode.cc:530-555): a
+    CRC-passing SC codeword is the transmitted codeword up to the same
+    ~2^-32 false-accept exposure the reference's CRC path selection
+    already has, and a CRC-failing frame returns the exact-SCL result
+    verbatim — the sensitivity cliff is exactly BatchPipeline's
+    (tests/test_adaptive.py pins both directions).  The one observable
+    difference is favorable: a frame whose greedy SC path passes CRC
+    but was pruned from the list-8 set decodes here and not there.
+
+    Unlike BatchPipeline.decode_batch (device dict), decode_batch here
+    returns a HOST numpy dict — the CRC gate is a host decision.  The
+    async pair (decode_batch_async / resolve) lets a serving loop
+    overlap the next batch's compute with this one's gate+fetch.
+    """
+
+    def __init__(self, rate: int, oper_mode: int, list_size: int = 8,
+                 fallback_batch: int = 16, **kw):
+        self.sc = BatchPipeline(rate, oper_mode, list_size=1, **kw)
+        self.scl = BatchPipeline(rate, oper_mode,
+                                 list_size=list_size, **kw)
+        self.cfg = self.sc.cfg
+        self.code = self.sc.code
+        self.fallback_batch = fallback_batch
+        self._fb = None
+        self.last_fallbacks = 0     # frames escalated by the last call
+
+    def _fallback_fn(self):
+        """Jitted gather + exact-SCL back-end at the fixed fallback
+        batch (compiled lazily: a clean serving stream never pays
+        for it)."""
+        if self._fb is None:
+            scl = self.scl._make_scl(self.fallback_batch)
+            def run(front, idx):
+                sub = {k: jnp.take(v, idx, axis=0)
+                       for k, v in front.items()}
+                return self.scl._fec_select(sub, scl)
+            self._fb = jax.jit(run)
+        return self._fb
+
+    def decode_batch_async(self, recordings):
+        """Dispatch the SC stage; returns an opaque handle for
+        resolve().  No host round trip happens here."""
+        if np.iscomplexobj(recordings):
+            recordings = cplx.from_np(recordings)
+        recordings = jnp.asarray(recordings)
+        front_fn, back_fn = self.sc._staged_fns(recordings.shape[0])
+        front = front_fn(recordings)
+        return front, back_fn(front)
+
+    def resolve(self, handle) -> dict:
+        """Fetch the SC results (one tunnel round trip), gate on CRC,
+        and re-decode any failing frames with the exact list decoder;
+        returns the merged host dict (BatchPipeline.fetch keys)."""
+        front, res1 = handle
+        host = self.sc.fetch(res1)
+        fails = np.flatnonzero(~host["ok"])
+        self.last_fallbacks = int(fails.size)
+        if not fails.size:
+            return host
+        fb = self._fallback_fn()
+        bf = self.fallback_batch
+        for g0 in range(0, fails.size, bf):
+            group = fails[g0: g0 + bf]
+            idx = np.full(bf, int(group[0]), dtype=np.int32)
+            idx[: group.size] = group
+            h2 = self.scl.fetch(fb(front, jnp.asarray(idx)))
+            for k in host:
+                host[k][group] = h2[k][: group.size]
+        return host
+
+    def decode_batch(self, recordings) -> dict:
+        return self.resolve(self.decode_batch_async(recordings))
+
+    # the host dict is already fetched; identity keeps the
+    # BatchPipeline serving-loop call shape working unchanged
+    def fetch(self, res: dict) -> dict:
+        return res
+
+    def decode_windows(self, wins) -> dict:
+        """Batch-decode pre-sliced frame windows: BatchPipeline's
+        padding logic verbatim (it only touches self.decode_batch,
+        which here resolves adaptively)."""
+        return BatchPipeline.decode_windows(self, wins)
+
+    def decode_recording(self, x, max_frames: int = 64):
+        """Find and decode every frame in one long recording (the
+        adaptive analog of BatchPipeline.decode_recording)."""
+        wins, pos = self.sc.frame_windows(x, max_frames)
+        if not len(wins):
+            return None, pos
+        return self.decode_windows(wins), pos
+
+    def payload_bytes(self, result, i: int) -> bytes:
+        return self.sc.payload_bytes(result, i)
 
 
 @functools.lru_cache(maxsize=None)
