@@ -268,7 +268,21 @@ def main():
     else:
         raise SystemExit(f"MODEM_SCL_UNROLL={unroll_env!r}: "
                          "expected 1/0/true/false/yes/no/on/off")
-    pipe = BatchPipeline(8000, 6, scl_unroll=unroll)
+    # MODEM_ADAPTIVE=0 serves the pure exact-SCL pipeline; the default
+    # is the CRC-gated adaptive path (SC for every frame, exact SCL
+    # only on CRC failure — pipeline.AdaptivePipeline).  Decode output
+    # stays byte-exact either way; the adaptive loop additionally
+    # asserts zero escalations on this clean workload.
+    adaptive = os.environ.get("MODEM_ADAPTIVE", "").lower() not in (
+        "0", "false", "no", "off")
+    if adaptive:
+        from modem_tpu.pipeline import AdaptivePipeline
+        pipe = AdaptivePipeline(8000, 6, scl_unroll=unroll)
+        kernel_pipe = pipe.sc       # stage-split timings (SC kernel)
+        parity_pipe = pipe.scl      # exact-kernel noisy parity check
+    else:
+        pipe = BatchPipeline(8000, 6, scl_unroll=unroll)
+        kernel_pipe = parity_pipe = pipe
     t0 = time.time()
     print("# compiling batched decode...", file=sys.stderr, flush=True)
     res = pipe.decode_batch(recs)              # compile
@@ -308,19 +322,35 @@ def main():
     np.asarray(jnp.sum(staged[-1]))        # force staging off the clock
     t0 = time.time()
     oks = []
+    fallbacks = 0
     pending = None
     for i in range(reps):
-        res = pipe.decode_batch(staged[i % 3])
-        oks.append(res["ok"])
-        # pipelined result fetch: retire the PREVIOUS rep's result
-        # while this rep computes (dispatch is async; a fetch is one
-        # ~26 ms tunnel round trip that a serving loop overlaps with
-        # compute exactly like this).  The final fetch lands inside
-        # the timed window, so every rep's compute is fully counted.
-        if pending is not None:
-            np.asarray(pending)
-        pending = res["flips"]
-    np.asarray(pending)
+        # pipelined result retirement: resolve/fetch the PREVIOUS
+        # rep's result while this rep computes (dispatch is async; a
+        # fetch is one ~26 ms tunnel round trip that a serving loop
+        # overlaps with compute exactly like this).  The final
+        # retirement lands inside the timed window, so every rep's
+        # compute — including any adaptive CRC gate — is fully
+        # counted.
+        if adaptive:
+            h = pipe.decode_batch_async(staged[i % 3])
+            if pending is not None:
+                out = pipe.resolve(pending)
+                oks.append(out["ok"])
+                fallbacks += pipe.last_fallbacks
+            pending = h
+        else:
+            res = pipe.decode_batch(staged[i % 3])
+            oks.append(res["ok"])
+            if pending is not None:
+                np.asarray(pending)
+            pending = res["flips"]
+    if adaptive:
+        out = pipe.resolve(pending)
+        oks.append(out["ok"])
+        fallbacks += pipe.last_fallbacks
+    else:
+        np.asarray(pending)
     dt = (time.time() - t0) / reps
     fps = batch / dt
     xrt = fps * frame_s
@@ -356,18 +386,22 @@ def main():
         return best
 
     front_t = _min_time(
-        _digest(lambda r: jax.vmap(pipe._demod_one)(r)),
+        _digest(lambda r: jax.vmap(kernel_pipe._demod_one)(r)),
         [(s,) for s in staged])
-    scl_fn = pipe._make_scl(batch)
+    scl_fn = kernel_pipe._make_scl(batch)
     llr_sets = [jnp.asarray(parity_llrs(pipe.code)[:1].repeat(batch, 0)
                             * k) for k in (1.0, 1.01, 0.99)]
     scl_t = _min_time(_digest(scl_fn), [(l,) for l in llr_sets])
-    print(f"# stages: front {front_t*1e3:.0f} ms, SCL {scl_t*1e3:.0f} "
-          f"ms of {dt*1e3:.0f} ms/batch", file=sys.stderr, flush=True)
+    kname = "SC" if adaptive else "SCL"
+    print(f"# stages: front {front_t*1e3:.0f} ms, {kname} "
+          f"{scl_t*1e3:.0f} ms of {dt*1e3:.0f} ms/batch",
+          file=sys.stderr, flush=True)
 
     # ---- Pallas-vs-VM noisy parity on the real chip -------------------
+    # always checks the EXACT list-8 kernel (the adaptive path's
+    # fallback decoder; its SC stage is pinned by tests/test_adaptive)
     t0 = time.time()
-    parity = scl_parity_check(pipe)
+    parity = scl_parity_check(parity_pipe)
     print(f"# scl parity check ({PARITY_FRAMES} noisy frames @ sigma "
           f"{PARITY_SIGMA}): {'ok' if parity else 'MISMATCH'} "
           f"({time.time() - t0:.0f} s)", file=sys.stderr, flush=True)
@@ -381,6 +415,12 @@ def main():
         "encode_fps": round(enc_fps, 3),
         "encode_x_realtime": round(enc_xrt, 1),
         "scl_parity_tpu": parity,
+        # decoder=adaptive_sc_scl8: every frame decodes with the L=1
+        # SC kernel and CRC-failing frames (sc_fallbacks, 0 on this
+        # clean workload) re-decode through the exact list-8 kernel —
+        # output is byte-exact either way (pipeline.AdaptivePipeline)
+        "decoder": "adaptive_sc_scl8" if adaptive else "scl8_exact",
+        **({"sc_fallbacks": fallbacks} if adaptive else {}),
         "front_ms_per_batch": round(front_t * 1e3, 1),
         "scl_ms_per_batch": round(scl_t * 1e3, 1),
         # the serving bound is the SCL kernel's serialized vector-

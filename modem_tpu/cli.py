@@ -158,8 +158,16 @@ def cmd_decode_all(argv: list[str]) -> int:
     per-frame mode/callsign auto-detection (beyond the reference's
     one-frame-per-run CLI; the library analog of running `decode` with
     every SKIP value, in one batched call per mode)."""
+    adaptive = False
+    if argv and argv[0] == "--adaptive":
+        # serving fast path: SC decode per frame, exact SCL only on
+        # CRC failure (pipeline.AdaptivePipeline, docs/SCL_KERNEL.md
+        # §8); identical results on anything either decoder decodes
+        adaptive = True
+        argv = argv[1:]
     if len(argv) != 2:
-        print("usage: decode-all OUTPUT_PREFIX INPUT", file=sys.stderr)
+        print("usage: decode-all [--adaptive] OUTPUT_PREFIX INPUT",
+              file=sys.stderr)
         return 1
     prefix, input_name = argv
     if input_name == "-":
@@ -171,7 +179,8 @@ def cmd_decode_all(argv: list[str]) -> int:
     pcm = wav.read_wav_raw(input_name)
     if pcm is not None:
         frames = decode_recording_auto(pcm, pcm.rate,
-                                       channels=pcm.channels)
+                                       channels=pcm.channels,
+                                       adaptive=adaptive)
     else:
         data = wav.read_wav(input_name)
         if data.channels < 1 or data.channels > 2:
@@ -181,7 +190,8 @@ def cmd_decode_all(argv: list[str]) -> int:
         samples = (data.samples[:, 0] if data.channels == 1
                    else data.samples[:, :2])
         frames = decode_recording_auto(samples, data.rate,
-                                       channels=data.channels)
+                                       channels=data.channels,
+                                       adaptive=adaptive)
     if not frames:
         print("no frames found", file=sys.stderr)
         return 1

@@ -128,8 +128,12 @@ class BatchPipeline:
         budget = 106 * 2 ** 20          # scratch + io blocks < 112 MiB
         best = 1
         # small list sizes (the L=1 adaptive fast path) fit many more
-        # frames per cell under the same 128-lane / VMEM caps
-        for F in (2, 4, 8, 16, 32, 64, 128):
+        # frames per cell under the same 128-lane / VMEM caps.  The
+        # ladder stops at 32: wire-size F=64 at L=1 fits the budget
+        # arithmetic but crashes the remote tpu_compile_helper
+        # (bench/probe_sc_l1.py, 2026-08-19) — re-raise the cap if
+        # that compile path recovers
+        for F in (2, 4, 8, 16, 32):
             P = F * self.list_size
             # llr_d0 + input block (f32) + int8 codeword output
             io = F * sched.code_len * (8 + self.list_size)
@@ -600,6 +604,13 @@ class AdaptivePipeline:
     def payload_bytes(self, result, i: int) -> bytes:
         return self.sc.payload_bytes(result, i)
 
+    # window slicing lives on the SC sub-pipeline (same config)
+    def windows_at(self, x, positions):
+        return self.sc.windows_at(x, positions)
+
+    def frame_windows(self, x, max_frames: int = 64):
+        return self.sc.frame_windows(x, max_frames)
+
 
 @functools.lru_cache(maxsize=None)
 def cached_pipeline(rate: int, oper_mode: int, list_size: int = 8,
@@ -608,9 +619,19 @@ def cached_pipeline(rate: int, oper_mode: int, list_size: int = 8,
                          mls_convention=mls_convention)
 
 
+@functools.lru_cache(maxsize=None)
+def cached_adaptive_pipeline(rate: int, oper_mode: int,
+                             list_size: int = 8,
+                             mls_convention: str = "galois"
+                             ) -> AdaptivePipeline:
+    return AdaptivePipeline(rate, oper_mode, list_size,
+                            mls_convention=mls_convention)
+
+
 def decode_recording_auto(x, rate: int, channels: int = 2,
                           max_frames: int = 64,
-                          mls_convention: str = "galois"):
+                          mls_convention: str = "galois",
+                          adaptive: bool = False):
     """Reference-decoder semantics on the serving path: the operating
     mode and callsign auto-detect per frame from the BCH(255,71)+OSD
     header (decode.cc:398-446), frames group by mode (and, under
@@ -622,6 +643,11 @@ def decode_recording_auto(x, rate: int, channels: int = 2,
     on-device front-end; the fastest ingest for WAV input).  Returns a
     time-ordered list of per-frame dicts:
     {pos, mode, call_sign, ok, payload, flips, snr}.
+
+    adaptive=True routes each mode group through AdaptivePipeline
+    (SC first, exact SCL only on CRC failure — identical results on
+    anything either decoder decodes; docs/SCL_KERNEL.md §8) instead
+    of the pure exact-SCL BatchPipeline.
     """
     from .decoder import cached_decoder
     dec = cached_decoder(rate, mls_convention=mls_convention)
@@ -661,7 +687,9 @@ def decode_recording_auto(x, rate: int, channels: int = 2,
         by_mode.setdefault((m, cv), []).append(idx)
     results = [None] * len(frames)
     for (m, cv), idxs in by_mode.items():
-        pipe = cached_pipeline(rate, m, mls_convention=cv)
+        factory = (cached_adaptive_pipeline if adaptive
+                   else cached_pipeline)
+        pipe = factory(rate, m, mls_convention=cv)
         wins, _ = pipe.windows_at(x, [frames[i][0] for i in idxs])
         # two round trips per group: packed scalars + bits (per-frame
         # device reads were one tunnel round trip each — measured

@@ -135,3 +135,29 @@ def test_adaptive_decode_recording(toy_adaptive):
     assert len(pos) == 2 and res["ok"].all()
     for i, want in enumerate(payloads):
         assert toy_adaptive.payload_bytes(res, i) == want
+
+
+@pytest.mark.slow
+def test_adaptive_decode_recording_auto_wire():
+    """Wire-size adaptive decode-all: a two-frame mode-6 recording
+    through decode_recording_auto(adaptive=True) — clean frames all
+    take the SC path and the payloads are exact (the group pipeline
+    is AdaptivePipeline; docs/SCL_KERNEL.md §8)."""
+    from modem_tpu import bits as B
+    from modem_tpu.encoder import cached_encoder
+    from modem_tpu.numerology import make_config
+    from modem_tpu.pipeline import decode_recording_auto
+
+    cfg = make_config(8000, 6, 2000)
+    enc = cached_encoder(cfg)
+    rng = np.random.default_rng(5)
+    payloads = [rng.integers(0, 256, cfg.mode.data_bytes,
+                             dtype=np.uint8).tobytes()
+                for _ in range(2)]
+    wave, _ = enc.encode(payloads, B.base37_encode("N0CALL"))
+    sil = np.zeros(cfg.rate, dtype=np.complex64)
+    rec = np.concatenate([sil, wave, sil])
+    frames = decode_recording_auto(rec, 8000, adaptive=True)
+    assert len(frames) == 2
+    for f, want in zip(frames, payloads):
+        assert f["ok"] and f["mode"] == 6 and f["payload"] == want
