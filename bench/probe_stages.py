@@ -95,7 +95,7 @@ def main():
             clock(f"pallas SCL F={F} bf16beta", fC, (llrs,),
                   (llrs * 1.01,), (llrs * 0.99,))
 
-    if "back" in stages:
+    if "back" in stages or "sc" in stages:
         front = dict(
             llrs=jnp.asarray(rng.normal(
                 2, 1, (batch, 65536)).astype(np.float32)),
@@ -104,9 +104,28 @@ def main():
             snr=jnp.zeros((batch, pipe.cfg.mode.cons_rows), jnp.float32),
             sync_gate=jnp.ones(batch, bool),
             multiframe=jnp.zeros(batch, bool))
-        _, back_fn = pipe._staged_fns(batch)
         front2 = dict(front, llrs=front["llrs"] * 1.01)
-        clock("fec back-end", back_fn, (front,), (front2,))
+    if "back" in stages:
+        _, back_fn = pipe._staged_fns(batch)
+        clock("fec back-end (L=8)", back_fn, (front,), (front2,))
+    if "sc" in stages:
+        # adaptive-path pieces (docs/SCL_KERNEL.md §8): the L=1 SC
+        # kernel alone (loop and unrolled) and the SC back-end
+        # (kernel + CRC select) — the select cost is the difference
+        sc_pipe = BatchPipeline(8000, 6, list_size=1)
+        llrs = front["llrs"]
+        for unroll in (False, True):
+            if unroll and "scunroll" not in stages:
+                continue
+            fD = jax.jit(make_pallas_decoder(
+                sc_pipe.code.frozen, 1,
+                frames_per_cell=sc_pipe._auto_frames_per_cell(batch),
+                unroll=unroll))
+            clock(f"pallas SC L=1 unroll={unroll}", fD, (llrs,),
+                  (llrs * 1.01,), (llrs * 0.99,))
+        _, sc_back = sc_pipe._staged_fns(batch)
+        clock("sc back-end (kernel + select)", sc_back, (front,),
+              (front2,))
 
 
 if __name__ == "__main__":
