@@ -446,21 +446,29 @@ class BatchPipeline:
         bits = np.asarray(result["bits"][i])
         return B.scramble(B.bits_to_bytes_le(bits))
 
-    def fetch(self, res) -> dict:
-        """Fetch a decode_batch/decode_windows result dict to host
-        numpy in ONE tunnel round trip instead of one per array: the
-        per-frame scalars (ok, flips, p0, sync_gate, cfo_rad), the
-        per-row snr AND the payload bits all pack into one int32 block
-        on device (floats bitcast, bits as 32-per-word little-endian)
-        and unpack on the host.  A device read costs one ~26-100 ms
-        tunnel round trip regardless of size (docs/PERFORMANCE.md), so
-        the 7-key dict was 7 round trips and the round-4 two-block
-        split still paid a second one for the bits."""
-        snr_cols = res["snr"].shape[1]
-        nb = res["bits"].shape[1]
-        packed = np.asarray(_pack_results(
+    def pack(self, res):
+        """Dispatch the single-block result packing on device; returns
+        (packed device array, snr_cols, n_bits) for unpack().
+
+        Dispatching the pack EAGERLY — right after the decode that
+        produced ``res``, before any further batch is queued — matters
+        on a serial device queue: a pack dispatched later (e.g. inside
+        a fetch that runs after the NEXT batch was queued) executes
+        behind that batch's whole compute, so the tunnel transfer of
+        THIS batch's results serializes with the next batch instead of
+        riding under it (measured: the adaptive serving loop spent
+        ~100 ms/batch-512 exactly this way)."""
+        return (_pack_results(
             res["ok"], res["flips"], res["p0"], res["sync_gate"],
-            res["cfo_rad"], res["snr"], res["bits"]))
+            res["cfo_rad"], res["snr"], res["bits"]),
+            res["snr"].shape[1], res["bits"].shape[1])
+
+    @staticmethod
+    def unpack(handle) -> dict:
+        """Fetch a pack() handle to host (ONE tunnel round trip) and
+        unpack the int32 block into the result dict."""
+        packed, snr_cols, nb = handle
+        packed = np.asarray(packed)
         off = 5 + snr_cols
         words = np.ascontiguousarray(packed[:, off:])
         bits = np.unpackbits(words.view(np.uint8), axis=1,
@@ -474,6 +482,20 @@ class BatchPipeline:
             snr=np.ascontiguousarray(
                 packed[:, 5: off]).view(np.float32),
             bits=bits)
+
+    def fetch(self, res) -> dict:
+        """Fetch a decode_batch/decode_windows result dict to host
+        numpy in ONE tunnel round trip instead of one per array: the
+        per-frame scalars (ok, flips, p0, sync_gate, cfo_rad), the
+        per-row snr AND the payload bits all pack into one int32 block
+        on device (floats bitcast, bits as 32-per-word little-endian)
+        and unpack on the host.  A device read costs one ~26-100 ms
+        tunnel round trip regardless of size (docs/PERFORMANCE.md), so
+        the 7-key dict was 7 round trips and the round-4 two-block
+        split still paid a second one for the bits.  Pipelined loops
+        should pack() at dispatch time and unpack() at retirement —
+        see pack()."""
+        return self.unpack(self.pack(res))
 
 
 @jax.jit
@@ -550,20 +572,27 @@ class AdaptivePipeline:
 
     def decode_batch_async(self, recordings):
         """Dispatch the SC stage; returns an opaque handle for
-        resolve().  No host round trip happens here."""
+        resolve().  No host round trip happens here.
+
+        The result PACK is dispatched here too (not in resolve): on
+        the serial device queue a pack queued at resolve time would
+        execute behind whatever batch the serving loop dispatched in
+        between, serializing this batch's ~100 ms tunnel transfer with
+        the next batch's compute instead of overlapping it
+        (BatchPipeline.pack)."""
         if np.iscomplexobj(recordings):
             recordings = cplx.from_np(recordings)
         recordings = jnp.asarray(recordings)
         front_fn, back_fn = self.sc._staged_fns(recordings.shape[0])
         front = front_fn(recordings)
-        return front, back_fn(front)
+        return front, self.sc.pack(back_fn(front))
 
     def resolve(self, handle) -> dict:
         """Fetch the SC results (one tunnel round trip), gate on CRC,
         and re-decode any failing frames with the exact list decoder;
         returns the merged host dict (BatchPipeline.fetch keys)."""
         front, res1 = handle
-        host = self.sc.fetch(res1)
+        host = self.sc.unpack(res1)
         fails = np.flatnonzero(~host["ok"])
         self.last_fallbacks = int(fails.size)
         if not fails.size:
