@@ -44,7 +44,8 @@ class BatchPipeline:
                  scl_backend: str = "auto", frames_per_cell: int = 0,
                  scl_exact: bool = True, estimator: str | None = None,
                  mls_convention: str = "galois",
-                 scl_unroll: bool | None = None):
+                 scl_unroll: bool | None = None,
+                 sync_stride: int = 8):
         """scl_backend: 'pallas' (VMEM-resident kernel, TPU only),
         'xla' (lax.scan VM), or 'auto' (pallas on TPU, xla elsewhere).
 
@@ -72,7 +73,15 @@ class BatchPipeline:
         for small codes, slower + slow-compiling at wire size,
         docs/SCL_KERNEL.md §7i); None follows SCL_UNROLL_DEFAULT.  The
         'xla' backend has no unroll notion: passing an explicit value
-        there warns and is ignored."""
+        there warns and is ignored.
+
+        sync_stride: evaluate the batch path's coarse timing metric
+        every N samples (sync._metrics_parts_strided) — the fine
+        stage's |pos_err| <= guard/2 correction absorbs the <=N-sample
+        coarse quantization, and the window sums shrink Nx.  Applied
+        only when the numerology divides cleanly
+        (Synchronizer.stride_ok); 1 = exact full-rate metric.  The
+        scan/stream paths always use the exact metric."""
         if mls_convention == "auto":
             # _demod_one pins kernel index 0; silently accepting
             # "auto" would decode a foreign convention as noise
@@ -110,6 +119,8 @@ class BatchPipeline:
                     "lax.scan VM has no unroll mode)", stacklevel=2)
             scl_unroll = None
         self.scl_unroll = scl_unroll
+        self.sync_stride = (sync_stride
+                            if self.sync.stride_ok(sync_stride) else 1)
         self.frames_per_cell = frames_per_cell
         self._decode_batch = jax.jit(jax.vmap(self._decode_one))
         self._batched_cache: dict[int, object] = {}
@@ -218,16 +229,29 @@ class BatchPipeline:
         The exclusion is the frame span (not just the preamble
         neighborhood) because the metric has in-frame secondary
         bumps above thr_hi; a second frame's own preamble peak always
-        lies >= frame_samples after the first, outside the span."""
+        lies >= frame_samples after the first, outside the span.
+
+        With sync_stride > 1 the metric is evaluated on a stride grid
+        (sync._metrics_parts_strided): the argmax lands within one
+        stride of the full-rate peak and the fine stage's pos_err
+        correction (|pos_err| <= guard/2, decode.cc:143-146) recovers
+        the rest; the phase readout index stays exact because
+        match_del is a stride multiple (Synchronizer.stride_ok)."""
         s = self.sync
-        timing, p_re, p_im = s._metrics_parts(x)
-        n_max = jnp.argmax(timing)
+        S = self.sync_stride
+        if S > 1:
+            timing, p_re, p_im = s._metrics_parts_strided(x, S)
+        else:
+            timing, p_re, p_im = s._metrics_parts(x)
+        m_max = jnp.argmax(timing)
+        n_max = m_max * S + (S - 1) if S > 1 else m_max
         p0 = n_max - s.match_del
         # phase only at the committed index: a full-length arctan2 is
         # ~45M transcendentals per 512-batch the argmax never reads
-        i = jnp.maximum(n_max - s.match_del, 0)
+        i = jnp.maximum(m_max - s.match_del // S, 0)
         fc = jnp.arctan2(p_im[i], p_re[i]) / s.L
-        idx = jnp.arange(timing.shape[0])
+        idx = jnp.arange(timing.shape[0]) * S + (S - 1) if S > 1 \
+            else jnp.arange(timing.shape[0])
         sg = self.cfg.symbol_len + self.cfg.guard_len
         inside = ((idx >= n_max - 2 * sg)
                   & (idx <= n_max + self.cfg.frame_samples))
@@ -525,7 +549,7 @@ class AdaptivePipeline:
 
     Adaptive SCL (Li/Niu/Chen 2012-style CRC-aided list escalation):
     every frame decodes with plain successive cancellation — the
-    list_size=1 kernel, whose 128 lanes hold 64 FRAMES per schedule
+    list_size=1 kernel, whose lanes hold 32 FRAMES per schedule
     pass instead of 16 frames x 8 paths (docs/SCL_KERNEL.md §8) — and
     only frames whose CRC-32 fails re-decode through the exact list
     decoder.  At serving SNR virtually every frame passes SC, so the

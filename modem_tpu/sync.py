@@ -276,6 +276,57 @@ class Synchronizer:
         phase = jnp.arctan2(p_im, p_re)
         return timing, phase.astype(jnp.float32)
 
+    def stride_ok(self, stride: int) -> bool:
+        """Whether _metrics_parts_strided(stride) keeps the P/R window
+        sums and the phase-readout position EXACT at this numerology
+        (L, 2L and match_del all divisible by the stride)."""
+        return (stride > 1 and self.L % stride == 0
+                and self.match_del % stride == 0
+                and self.match_len >= stride)
+
+    def _metrics_parts_strided(self, x, stride: int):
+        """Batch-path timing metric evaluated every ``stride`` samples.
+
+        The serving argmax only needs the metric's peak to within the
+        fine stage's correction range (|pos_err| <= guard/2,
+        decode.cc:143-146), so evaluating the metric on a stride-S
+        grid loses nothing the fine stage doesn't recover — while the
+        window sums (57% of the batch demod front-end at full rate)
+        shrink by S in both FLOPs and intermediate size.
+
+        Exactness: the correlation (L) and power (2L) windows end on
+        stride multiples, so p_re/p_im/power at the strided points are
+        EXACTLY the full-rate values (the full-rate products are
+        block-summed first; L % stride == 0 asserted via stride_ok).
+        Only the reference's match filter (SMA over match_len=g|1
+        consecutive ratios, decode.cc:90) is approximated: stride *
+        sum of match_len//stride STRIDED ratios — valid because ratio
+        is smooth on the stride scale (every constituent is a >=L-
+        sample window sum).  Returned arrays index the strided grid:
+        entry m corresponds to full-rate index m*stride + stride - 1.
+
+        Scan/stream keep the exact full-rate _metrics_parts: their
+        device-vs-host parity and event-position contracts pin every
+        sample (tests/test_sync.py)."""
+        L = self.L
+        S = stride
+        a = x[L:-L]
+        b = x[2 * L:]
+        a = a[: b.shape[0]]
+        prod = cplx.cmul_conj(a, b)
+        pb = cplx.abs2(b)
+        t8 = prod.shape[0] // S
+        rb = prod[: t8 * S].reshape(t8, S, 2).sum(axis=1)
+        pbb = pb[: t8 * S].reshape(t8, S).sum(axis=1)
+        p_re = window_sum(rb[:, 0], L // S)
+        p_im = window_sum(rb[:, 1], L // S)
+        power = window_sum(pbb, 2 * L // S)
+        r = jnp.maximum(0.5 * power, 1e-4 * L)
+        timing = S * window_sum((p_re**2 + p_im**2) / (r * r),
+                                self.match_len // S)
+        return (timing.astype(jnp.float32), p_re.astype(jnp.float32),
+                p_im.astype(jnp.float32))
+
     # -- stage 2: fine timing / CFO at one candidate ----------------------
     def _fine_stage(self, window, frac_cfo):
         """window: [L, 2] samples at x[p0+L : p0+2L] (second half of the

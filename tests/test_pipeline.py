@@ -156,3 +156,46 @@ def test_sharded_decode_recording_pcm_wire_input():
     for i in range(len(pos)):
         assert pipe.payload_bytes(got, i) == payloads[i]
         assert pipe.payload_bytes(got, i) == pipe.payload_bytes(ref, i)
+
+
+def test_strided_sync_matches_exact():
+    """The batch path's strided coarse metric (sync_stride=8,
+    sync._metrics_parts_strided) must decode exactly what the
+    full-rate metric decodes — the <=stride coarse-quantization is
+    absorbed by the fine stage's pos_err correction
+    (decode.cc:143-146) — on clean AND noisy recordings."""
+    from modem_tpu.pipeline import BatchPipeline
+
+    recs, payloads = toy_recordings(4, seed=11)
+    rng = np.random.default_rng(13)
+    noisy = np.asarray(recs) + rng.normal(
+        0, 0.05, np.asarray(recs).shape).astype(np.float32)
+    cfg = toy_config()
+    pipes = {}
+    for stride in (8, 1):
+        pipes[stride] = BatchPipeline(
+            rate=cfg.rate, oper_mode=0, list_size=4,
+            mode_spec=cfg.mode, symbol_len_override=cfg.symbol_len,
+            sync_stride=stride)
+    assert pipes[8].sync_stride == 8 and pipes[1].sync_stride == 1
+    for batch in (np.asarray(recs), noisy):
+        res8 = pipes[8].decode_batch(batch)
+        res1 = pipes[1].decode_batch(batch)
+        assert np.asarray(res8["ok"]).all()
+        assert (np.asarray(res8["ok"]) == np.asarray(res1["ok"])).all()
+        assert (np.asarray(res8["bits"]) == np.asarray(res1["bits"])).all()
+        # strided coarse p0 lands within one stride of the exact one
+        # BEFORE fine correction; after it they must agree exactly
+        assert (np.asarray(res8["p0"]) == np.asarray(res1["p0"])).all()
+    for i, want in enumerate(payloads):
+        assert pipes[8].payload_bytes(res1, i) == want
+
+
+def test_sync_stride_fallback_when_indivisible():
+    """44.1 kHz has match_del = 441 (not a multiple of 8): the
+    pipeline must fall back to the exact full-rate metric rather than
+    misalign the phase readout."""
+    from modem_tpu.pipeline import BatchPipeline
+
+    pipe = BatchPipeline(44100, 6)
+    assert pipe.sync_stride == 1
