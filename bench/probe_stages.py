@@ -80,6 +80,11 @@ def main():
         fA2 = jax.jit(jax.vmap(sync._metrics_parts))
         clock("sync metrics (parts, batch path)", fA2, (recs,),
               (recs * 1.01,))
+        if sync.stride_ok(8):
+            fA3 = jax.jit(jax.vmap(
+                lambda x: sync._metrics_parts_strided(x, 8)))
+            clock("sync metrics (strided S=8)", fA3, (recs,),
+                  (recs * 1.01,))
     if "front" in stages:
         fB = jax.jit(jax.vmap(pipe._demod_one))
         clock("front demod", fB, (recs,), (recs * 1.01,))
